@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+sharding paths are exercised without TPU hardware."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon sitecustomize registers the TPU plugin and force-sets
+# jax_platforms="axon,cpu" at interpreter start; override it back to CPU so
+# the suite never rides the single-chip tunnel.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
