@@ -1,0 +1,42 @@
+"""Discrete robot action space.
+
+Reference parity: ``CADRL.build_action_space`` (inherited by all trainable
+policies, SURVEY.md §2.2): ``speed_samples`` exponentially spaced speeds
+(e^(i/n)−1)/(e−1)·v_pref × ``rotation_samples`` directions + the stop action
+⇒ 81 actions for the 5×16 default. Holonomic: directions span [0, 2π);
+unicycle: rotations span ±rotation_constraint and actions are (speed, dθ).
+
+Built once at configure time as a static [A, 2] array — the planner
+broadcasts over it on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from relationalgraphlearning_tpu import types as T
+from relationalgraphlearning_tpu.configs.base import ActionSpaceConfig
+
+
+def build_action_space(cfg: ActionSpaceConfig, v_pref: float,
+                       kinematics: str) -> np.ndarray:
+    speeds = [(np.exp((i + 1) / cfg.speed_samples) - 1) / (np.e - 1) * v_pref
+              for i in range(cfg.speed_samples)]
+    if kinematics == T.HOLONOMIC:
+        rotations = np.linspace(
+            0, 2 * np.pi, cfg.rotation_samples, endpoint=False)
+    else:
+        rotations = np.linspace(
+            -cfg.rotation_constraint, cfg.rotation_constraint,
+            cfg.rotation_samples)
+
+    actions = [np.zeros(2, np.float32)]  # stop / (0 speed, 0 rotation)
+    for rotation in rotations:
+        for speed in speeds:
+            if kinematics == T.HOLONOMIC:
+                actions.append(np.array(
+                    [speed * np.cos(rotation), speed * np.sin(rotation)],
+                    np.float32))
+            else:
+                actions.append(np.array([speed, rotation], np.float32))
+    return np.stack(actions)  # [A, 2]
