@@ -1,0 +1,11 @@
+"""MP-RGL with a shared graph model (parity: mp_shared.py)."""
+
+from relationalgraphlearning_tpu.configs.base import (
+    Config, MPRLConfig, PolicyConfig)
+
+
+def get_config() -> Config:
+    return Config(policy=PolicyConfig(
+        name="model_predictive_rl",
+        mprl=MPRLConfig(planning_depth=2, planning_width=2,
+                        do_action_clip=True, share_graph_model=True)))

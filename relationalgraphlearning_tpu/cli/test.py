@@ -1,0 +1,112 @@
+"""Evaluation CLI.
+
+Reference parity: ``crowd_nav/test.py`` (SURVEY.md §2.4, §3.5) — loads
+config + weights from ``--model_dir``; ``--phase test`` runs the seeded
+test-case set through the Explorer and logs aggregate metrics
+(success/collision/nav time/reward/danger); ``--visualize --test_case k``
+renders one episode (``--traj`` static plot or ``--video_file``); ``--il``
+evaluates the imitation snapshot; ``--human_num`` / ``--safety_space``
+overrides.
+
+Usage:
+    python -m relationalgraphlearning_tpu.cli.test --model_dir data/output \
+        [--phase test|val] [--visualize --test_case 0 --traj out.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate a trained policy")
+    p.add_argument("--policy", default="model_predictive_rl")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--il", action="store_true", help="evaluate the IL snapshot")
+    p.add_argument("--phase", default="test", choices=["val", "test"])
+    p.add_argument("--test_size", type=int, default=None)
+    p.add_argument("--human_num", type=int, default=None)
+    p.add_argument("--visualize", action="store_true")
+    p.add_argument("--test_case", type=int, default=0)
+    p.add_argument("--traj", default=None, help="save trajectory plot to PNG")
+    p.add_argument("--video_file", default=None, help="save episode video")
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "axon"])
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout,
+                        format="%(asctime)s, %(levelname)s: %(message)s",
+                        datefmt="%Y-%m-%d %H:%M:%S")
+    for noisy in ("orbax", "absl", "jax", "etils"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
+
+    import jax
+    import jax.numpy as jnp
+
+    from relationalgraphlearning_tpu.configs.base import Config, load_config_module
+    from relationalgraphlearning_tpu.training import checkpoint as ckpt
+    from relationalgraphlearning_tpu.training.train_loop import build
+    from relationalgraphlearning_tpu.training.trainer import TrainState
+
+    cfg_path = os.path.join(args.model_dir, "config.py")
+    config = load_config_module(cfg_path) if os.path.exists(cfg_path) else Config()
+    if args.human_num is not None:
+        config = dataclasses.replace(
+            config, env=dataclasses.replace(
+                config.env, sim=dataclasses.replace(
+                    config.env.sim, human_num=args.human_num)))
+
+    art = build(config, args.policy)
+    params = art.policy.init_params(jax.random.PRNGKey(0))
+    state = art.trainer.init(params)
+    name = "il_model" if args.il else "rl_model"
+    path = os.path.join(args.model_dir, name)
+    if ckpt.exists(path):
+        state = ckpt.restore(path, state)
+        logging.info("loaded %s", path)
+    else:
+        logging.warning("no checkpoint at %s — evaluating random init", path)
+
+    sim = config.env.sim
+    offset = sim.test_seed_offset if args.phase == "test" else sim.val_seed_offset
+    size = args.test_size or (
+        sim.test_size if args.phase == "test" else sim.val_size)
+
+    if args.visualize:
+        from relationalgraphlearning_tpu.utils.render import rollout_trajectory, render_traj, render_video
+
+        traj = rollout_trajectory(
+            art.env, art.policy, state.params, offset, args.test_case)
+        logging.info("case %d: outcome=%s nav_time=%.2fs return=%.4f",
+                     args.test_case, traj.outcome_name, traj.nav_time,
+                     traj.cumulative_reward)
+        if args.traj:
+            render_traj(traj, args.traj)
+            logging.info("wrote %s", args.traj)
+        if args.video_file:
+            render_video(traj, args.video_file)
+            logging.info("wrote %s", args.video_file)
+        return
+
+    ev = jax.jit(lambda p, k, idx: art.explorer.run_cases(p, offset, idx, k))(
+        state.params, jax.random.PRNGKey(1), jnp.arange(size))
+    logging.info(
+        "%s phase (%d cases): success %.3f, collision %.3f, timeout %.3f, "
+        "nav time %.2fs, total reward %.4f, danger freq %.4f, "
+        "avg min separation in danger %.3f",
+        args.phase, size, float(ev.success_rate), float(ev.collision_rate),
+        float(ev.timeout_rate), float(ev.avg_nav_time), float(ev.avg_return),
+        float(ev.danger_frequency), float(ev.avg_min_dist))
+    return ev
+
+
+if __name__ == "__main__":
+    main()
