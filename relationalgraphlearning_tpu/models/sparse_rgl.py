@@ -1,0 +1,91 @@
+"""SparseRGL — relation inference + message passing over k-NN agent graphs.
+
+Capability extension over the reference (SURVEY.md §5 "long-context" row):
+the reference's RGL is hard-capped by its dense n×n similarity and Python
+loops (n = 6 nodes in practice). SparseRGL runs the same relational math —
+embed agents, embedded-gaussian relation scores, softmax-normalized GCN
+aggregation, ``num_layer`` deep with ``layerwise_graph``/``skip_connection``
+— restricted to each agent's K nearest neighbors, scaling to 10k+ agent
+crowds (BASELINE config #5). Parameters mirror ``RGL`` (``w_h`` embed,
+``w_a`` relation, per-layer GCN kernels), so dense-vs-sparse equivalence is
+testable by giving every node all others as neighbors.
+
+The per-node value head mirrors ``ValueEstimator`` but decentralized: a
+value for EVERY agent node in one forward.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+from relationalgraphlearning_tpu.configs.base import GCNConfig
+from relationalgraphlearning_tpu.models.mlp import MLP
+from relationalgraphlearning_tpu.ops import sparse
+
+
+class SparseRGL(nn.Module):
+    cfg: GCNConfig
+    use_pallas: bool = False  # fused Pallas aggregation kernel (TPU)
+
+    def setup(self):
+        cfg = self.cfg
+        self.w_h = MLP(cfg.wh_dims, last_relu=True, name="w_h")
+        self.w_a = nn.Dense(cfg.final_state_dim, use_bias=False, name="w_a")
+        dims = [cfg.gcn2_w1_dim, cfg.final_state_dim]
+        while len(dims) < cfg.num_layer:
+            dims.append(cfg.final_state_dim)
+        self.gcn_layers = [
+            nn.Dense(dims[i], use_bias=False, name=f"gcn_w{i+1}")
+            for i in range(cfg.num_layer)
+        ]
+
+    def _aggregate(self, H: Array, cols: Array, mask: Optional[Array],
+                   layer: nn.Dense) -> Array:
+        """softmax-SDDMM + SpMM for one GCN layer: relu(Â · H · W)."""
+        q = self.w_a(H)
+        v = layer(H)
+        if self.use_pallas:
+            from relationalgraphlearning_tpu.ops.pallas_graph import (
+                fused_neighbor_attention,
+            )
+
+            out = fused_neighbor_attention(q, H, v, cols, mask)
+        else:
+            scores = sparse.sddmm_fixed_k(q, H, cols, mask)
+            attn = sparse.neighbor_softmax(scores, mask)
+            out = sparse.spmm_fixed_k(attn, v, cols)
+        return nn.relu(out)
+
+    def __call__(self, states: Array, cols: Array,
+                 mask: Optional[Array] = None) -> Array:
+        """states [n, 5], cols [n, K] neighbor indices, mask [n, K] edge
+        validity → node embeddings [n, X_dim]."""
+        H = self.w_h(states)
+        for layer in self.gcn_layers:
+            H_next = self._aggregate(H, cols, mask, layer)
+            if self.cfg.skip_connection and H_next.shape == H.shape:
+                H_next = H_next + H
+            H = H_next
+        return H
+
+
+class SparseValueNet(nn.Module):
+    """Decentralized per-agent value head over SparseRGL embeddings."""
+
+    gcn: GCNConfig
+    value_dims: Sequence[int] = (32, 100, 100, 1)
+    use_pallas: bool = False
+
+    def setup(self):
+        self.graph_model = SparseRGL(self.gcn, use_pallas=self.use_pallas,
+                                     name="graph_model")
+        self.value_head = MLP(self.value_dims, name="value_network")
+
+    def __call__(self, states: Array, cols: Array,
+                 mask: Optional[Array] = None) -> Array:
+        H = self.graph_model(states, cols, mask)
+        return self.value_head(H)[..., 0]
