@@ -19,6 +19,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from relationalgraphlearning_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 
 def cpu_baseline_steps_per_s(seconds: float = 3.0) -> float:
     """Single env, per-step host dispatch, CPU backend (reference-style)."""

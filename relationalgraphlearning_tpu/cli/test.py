@@ -42,6 +42,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    from relationalgraphlearning_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     logging.basicConfig(level=logging.INFO, stream=sys.stdout,
                         format="%(asctime)s, %(levelname)s: %(message)s",
                         datefmt="%Y-%m-%d %H:%M:%S")

@@ -42,6 +42,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    from relationalgraphlearning_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     if os.path.exists(args.output_dir) and not (args.resume or args.overwrite):
         # parity: train.py refuses to clobber unless asked
         key = input(f"{args.output_dir} exists. Overwrite? (y/n)")

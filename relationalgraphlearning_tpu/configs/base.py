@@ -61,7 +61,10 @@ class EnvConfig:
     robot_v_pref: float = 1.0
     robot_kinematics: str = "holonomic"
     # humans
-    human_policy: str = "orca"  # "orca" | "socialforce" | "linear"
+    human_policy: str = "orca"  # "orca" | "socialforce" | "linear" | "mixed"
+    # "mixed": first ceil(frac*N) humans run ORCA, the rest social force
+    # (BASELINE config #4: mixed ORCA/SFM crowds)
+    mixed_orca_fraction: float = 0.5
     human_radius: float = 0.3
     human_v_pref: float = 1.0
     randomize_attributes: bool = False
@@ -133,6 +136,8 @@ class PolicyConfig:
     sarl_with_global_state: bool = True
     lstm_hidden_dim: int = 50
     lstm_mlp_dims: Tuple[int, ...] = (150, 100, 100, 1)
+    lstm_with_interaction_module: bool = False
+    lstm_mlp1_dims: Tuple[int, ...] = (150, 100, 100, 50)
     with_om: bool = False
     om_cell_num: int = 4
     om_cell_size: float = 1.0

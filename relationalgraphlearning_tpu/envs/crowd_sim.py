@@ -131,6 +131,19 @@ class CrowdSim:
             new_v = centralized_sfm_step(
                 pos, vel, rad, prefv, vpref, active, self.sfm_params,
                 cfg.time_step)
+        elif cfg.human_policy == "mixed":
+            # first ceil(frac·N) humans follow ORCA, the rest social force;
+            # each solver sees the full crowd (they avoid each other).
+            import math
+
+            n_orca = math.ceil(cfg.mixed_orca_fraction * n)
+            v_orca = centralized_orca_step(
+                pos, vel, rad, prefv, vpref, active, self.orca_params)
+            v_sfm = centralized_sfm_step(
+                pos, vel, rad, prefv, vpref, active, self.sfm_params,
+                cfg.time_step)
+            is_orca = (jnp.arange(pos.shape[0]) < n_orca)[:, None]
+            new_v = jnp.where(is_orca, v_orca, v_sfm)
         else:
             raise ValueError(f"unknown human policy: {cfg.human_policy}")
         return new_v[:n]

@@ -130,7 +130,9 @@ class LstmRLPolicy(OneStepLookaheadPolicy):
         super().__init__(policy_cfg, env_cfg)
         self.module = LstmRLNet(
             lstm_hidden_dim=policy_cfg.lstm_hidden_dim,
-            mlp_dims=policy_cfg.lstm_mlp_dims)
+            mlp_dims=policy_cfg.lstm_mlp_dims,
+            with_interaction_module=policy_cfg.lstm_with_interaction_module,
+            mlp1_dims=policy_cfg.lstm_mlp1_dims)
 
 
 class GCNPolicy(OneStepLookaheadPolicy):
