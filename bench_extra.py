@@ -1,0 +1,96 @@
+"""Extended benchmarks (beyond bench.py's headline env-steps/s):
+
+- planning decisions/s: full d-step MP-RGL decisions (action clip + tree
+  expansion + value backup) in the real env loop;
+- relation edges/s: fused SDDMM→softmax→SpMM over k-NN crowds (BASELINE
+  SpMM/SDDMM gate), XLA path;
+- per-decision latency: single-state planning latency (reference's
+  per-decision cost analogue, SURVEY.md §3.3).
+
+Prints one JSON line per metric. Run manually; results are recorded in
+PERF.md.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from relationalgraphlearning_tpu.utils import compile_cache
+
+compile_cache.enable()
+
+
+def _timeit(fn, *args, reps=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def planning_throughput(batch=64, steps=32):
+    from relationalgraphlearning_tpu.configs.base import (
+        EnvConfig, MPRLConfig, PolicyConfig)
+    from relationalgraphlearning_tpu.envs.crowd_sim import CrowdSim
+    from relationalgraphlearning_tpu.policies import make_policy
+    from relationalgraphlearning_tpu.training.explorer import Explorer
+
+    cfg = EnvConfig(human_policy="orca")
+    pcfg = PolicyConfig(mprl=MPRLConfig(planning_depth=2, planning_width=2))
+    policy = make_policy("model_predictive_rl", pcfg, cfg)
+    params = policy.init_params(jax.random.PRNGKey(0))
+    ex = Explorer(CrowdSim(cfg), policy, pcfg.gamma)
+
+    collect = jax.jit(lambda p, c: ex.collect(
+        p, c, steps, jnp.asarray(0.0), 0))
+    carry = ex.init_carry(batch, 0, jax.random.PRNGKey(1))
+    dt = _timeit(lambda p, c: collect(p, c)[1].reward, params, carry, reps=5)
+    decisions = batch * steps / dt
+
+    # per-decision latency (single state, jitted planner alone)
+    from relationalgraphlearning_tpu import types as T
+
+    js = T.JointState(carry.env_states.robot[0],
+                      T.observable(carry.env_states.humans[0]))
+    pred = jax.jit(lambda p, s: policy.predict(
+        p, s, jax.random.PRNGKey(0), jnp.asarray(0.0)))
+    lat = _timeit(pred, params, js, reps=50)
+    return decisions, lat
+
+
+def edges_throughput(n=8192, K=16, d=64):
+    from relationalgraphlearning_tpu.ops import sparse
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (n, d))
+    x = jax.random.normal(ks[1], (n, d))
+    v = jax.random.normal(ks[2], (n, d))
+    cols = sparse.knn_graph(jax.random.uniform(ks[3], (n, 2)) * 100, K)
+    mask = jnp.ones((n, K), bool)
+
+    @jax.jit
+    def f(q, x, v, cols, mask):
+        s = sparse.sddmm_fixed_k(q, x, cols, mask)
+        a = sparse.neighbor_softmax(s, mask)
+        return sparse.spmm_fixed_k(a, v, cols)
+
+    dt = _timeit(f, q, x, v, cols, mask, reps=100)
+    return n * K / dt
+
+
+def main():
+    dec, lat = planning_throughput()
+    print(json.dumps({"metric": "planning decisions/s (d=2 MP-RGL in env)",
+                      "value": round(dec, 1), "unit": "decisions/s",
+                      "latency_per_decision_ms": round(lat * 1e3, 3)}))
+    e = edges_throughput()
+    print(json.dumps({"metric": "relation edges/s (SDDMM+softmax+SpMM)",
+                      "value": round(e / 1e9, 2), "unit": "Gedges/s"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,12 @@ def main(argv=None):
     art = build(config, args.policy)
     params = art.policy.init_params(jax.random.PRNGKey(0))
     state = art.trainer.init(params)
-    name = "il_model" if args.il else "rl_model"
+    if args.il:
+        name = "il_model"
+    elif ckpt.exists(os.path.join(args.model_dir, "rl_model_best")):
+        name = "rl_model_best"  # best-on-val snapshot when available
+    else:
+        name = "rl_model"
     path = os.path.join(args.model_dir, name)
     if ckpt.exists(path):
         state = ckpt.restore(path, state)

@@ -150,6 +150,7 @@ class TrainConfig:
     il_episodes: int = 2000
     il_epochs: int = 50
     il_learning_rate: float = 0.01
+    il_optimizer: str = "sgd"  # parity: reference pretrains with SGD+momentum
     orca_safety_space: float = 0.15  # demonstrator safety space
     # rl (parity: train.py phase 2)
     rl_train_episodes: int = 10000

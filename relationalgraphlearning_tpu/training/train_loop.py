@@ -144,7 +144,7 @@ def train(config: Config, policy_name: str, output_dir: str,
             params, sim.val_seed_offset, case_indices, key)
 
     # ---------------------------------------------------------- phase 1: IL
-    trainer.set_learning_rate(tc.il_learning_rate, tc.optimizer)
+    trainer.set_learning_rate(tc.il_learning_rate, tc.il_optimizer)
     state = trainer.init(params)
 
     il_ckpt = os.path.join(output_dir, "il_model")
@@ -196,6 +196,14 @@ def train(config: Config, policy_name: str, output_dir: str,
                          "sp_loss": float(aux.predictor_loss)}, prefix="il")
         ckpt.save(il_ckpt, state)
 
+        # IL validation (parity: train.py validates the IL policy)
+        key, k_eval = jax.random.split(key)
+        n_val = min(sim.val_size, opts.eval_envs)
+        ev = evaluate(state.params, k_eval, jnp.arange(n_val))
+        log.info("IL val: success %.2f coll %.2f nav %.2fs ret %.3f",
+                 float(ev.success_rate), float(ev.collision_rate),
+                 float(ev.avg_nav_time), float(ev.avg_return))
+
     # ---------------------------------------------------------- phase 2: RL
     trainer.set_learning_rate(tc.rl_learning_rate, tc.optimizer)
     state = TrainState(state.params, state.target_params,
@@ -208,6 +216,8 @@ def train(config: Config, policy_name: str, output_dir: str,
     last_eval_ep = -1
     last_target_ep = 0
     last_ckpt_ep = 0
+    best_success = -1.0
+    best_ckpt = os.path.join(output_dir, "rl_model_best")
     t_loop = time.time()
     while episodes < tc.rl_train_episodes:
         frac = min(episodes / tc.epsilon_decay, 1.0)
@@ -246,6 +256,13 @@ def train(config: Config, policy_name: str, output_dir: str,
                 "nav_time": float(ev.avg_nav_time),
                 "return": float(ev.avg_return)}, prefix="val")
             last_eval_ep = episodes
+            # keep the best-on-val snapshot (ties broken by return)
+            score = float(ev.success_rate) - 0.001 * float(ev.collision_rate)
+            if score > best_success:
+                best_success = score
+                ckpt.save(best_ckpt, state)
+                log.info("new best val success %.2f → %s",
+                         float(ev.success_rate), best_ckpt)
         writer.write(episodes, {
             "value_loss": float(aux.value_loss),
             "sp_loss": float(aux.predictor_loss),

@@ -29,11 +29,16 @@ from relationalgraphlearning_tpu.training import replay_buffer as rb
 
 
 def make_optimizer(name: str, learning_rate: float) -> optax.GradientTransformation:
+    """Adam / SGD+momentum (parity: trainer.py owns the optimizer). A global
+    grad-norm clip guards the tiny nets against the loss spikes that large
+    on-device step counts can hit (46k IL steps run in seconds here)."""
     if name == "adam":
-        return optax.adam(learning_rate)
-    if name == "sgd":
-        return optax.sgd(learning_rate, momentum=0.9)
-    raise ValueError(f"unknown optimizer {name!r}")
+        opt = optax.adam(learning_rate)
+    elif name == "sgd":
+        opt = optax.sgd(learning_rate, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    return optax.chain(optax.clip_by_global_norm(10.0), opt)
 
 
 class TrainState(NamedTuple):
