@@ -62,7 +62,9 @@ def planning_throughput(batch=64, steps=32):
     return decisions, lat
 
 
-def edges_throughput(n=8192, K=16, d=64):
+def edges_throughput(n=8192, K=16, d=64, inner=100):
+    """``inner`` chained applications inside ONE jitted scan so device time,
+    not per-dispatch tunnel latency, is measured."""
     from relationalgraphlearning_tpu.ops import sparse
 
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -74,12 +76,16 @@ def edges_throughput(n=8192, K=16, d=64):
 
     @jax.jit
     def f(q, x, v, cols, mask):
-        s = sparse.sddmm_fixed_k(q, x, cols, mask)
-        a = sparse.neighbor_softmax(s, mask)
-        return sparse.spmm_fixed_k(a, v, cols)
+        def body(v, _):
+            s = sparse.sddmm_fixed_k(q, x, cols, mask)
+            a = sparse.neighbor_softmax(s, mask)
+            return sparse.spmm_fixed_k(a, v, cols), None
 
-    dt = _timeit(f, q, x, v, cols, mask, reps=100)
-    return n * K / dt
+        v, _ = jax.lax.scan(body, v, None, inner)
+        return v
+
+    dt = _timeit(f, q, x, v, cols, mask, reps=3)
+    return n * K * inner / dt
 
 
 def main():
