@@ -88,6 +88,55 @@ def edges_throughput(n=8192, K=16, d=64, inner=100):
     return n * K * inner / dt
 
 
+def mega_crowd(n=10240, K=10, steps=16):
+    """BASELINE config #5 scale: 10k-agent synthetic crowd — kNN ORCA step
+    + SparseRGL decentralized value inference, one jitted program."""
+    from relationalgraphlearning_tpu.configs.base import GCNConfig
+    from relationalgraphlearning_tpu.envs.orca import (
+        ORCAParams, centralized_orca_step_knn)
+    from relationalgraphlearning_tpu.models.sparse_rgl import SparseValueNet
+    from relationalgraphlearning_tpu.ops.sparse import knn_graph
+
+    rng = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(rng, (n, 2), minval=-200, maxval=200)
+    goals = -pos
+    rad = jnp.full((n,), 0.3)
+    vmax = jnp.ones((n,))
+    act = jnp.ones((n,), bool)
+    params_orca = ORCAParams()
+
+    net = SparseValueNet(GCNConfig(), value_dims=(32, 100, 100, 1))
+    states0 = jnp.zeros((n, 5))
+    cols0 = knn_graph(pos, 16)
+    net_params = net.init(jax.random.PRNGKey(1), states0, cols0)
+
+    @jax.jit
+    def rollout(pos, vel):
+        def body(carry, _):
+            pos, vel = carry
+            to = goals - pos
+            d = jnp.linalg.norm(to, axis=-1, keepdims=True)
+            pref = jnp.where(d > 1e-3, to / jnp.maximum(d, 1e-9), 0.0)
+            new_v = centralized_orca_step_knn(
+                pos, vel, rad, pref, vmax, act, params_orca, K)
+            new_pos = pos + new_v * 0.25
+            states = jnp.concatenate([new_pos, new_v, rad[:, None]], -1)
+            cols = knn_graph(new_pos, 16)
+            vals = net.apply(net_params, states, cols)
+            return (new_pos, new_v), jnp.mean(vals)
+        (pos, vel), vals = jax.lax.scan(body, (pos, vel), None, steps)
+        return pos, vel, vals
+
+    vel = jnp.zeros((n, 2))
+    out = rollout(pos, vel)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = rollout(pos, vel)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return n * steps / dt  # agent-steps/s (ORCA + GNN value per agent-step)
+
+
 def main():
     dec, lat = planning_throughput()
     print(json.dumps({"metric": "planning decisions/s (d=2 MP-RGL in env)",
@@ -96,6 +145,9 @@ def main():
     e = edges_throughput()
     print(json.dumps({"metric": "relation edges/s (SDDMM+softmax+SpMM)",
                       "value": round(e / 1e9, 2), "unit": "Gedges/s"}))
+    m = mega_crowd()
+    print(json.dumps({"metric": "10k-agent crowd (kNN ORCA + SparseRGL values)",
+                      "value": round(m, 1), "unit": "agent-steps/s"}))
 
 
 if __name__ == "__main__":

@@ -35,6 +35,8 @@ def main(argv=None):
                    help="force a JAX platform (default: auto/TPU)")
     p.add_argument("--train_envs", type=int, default=16)
     p.add_argument("--collect_steps", type=int, default=64)
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of the run")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -76,11 +78,14 @@ def main(argv=None):
     logging.info("policy: %s | config: %s | seed: %d",
                  args.policy, args.config or "<default>", args.randomseed)
 
-    result = train(
-        config, args.policy, args.output_dir,
-        debug=args.debug, resume=args.resume, seed=args.randomseed,
-        opts=LoopOptions(train_envs=args.train_envs,
-                         collect_steps=args.collect_steps))
+    from relationalgraphlearning_tpu.utils import profiling
+
+    with profiling.trace(args.profile_dir):
+        result = train(
+            config, args.policy, args.output_dir,
+            debug=args.debug, resume=args.resume, seed=args.randomseed,
+            opts=LoopOptions(train_envs=args.train_envs,
+                             collect_steps=args.collect_steps))
     logging.info("done: %s", result)
     return result
 

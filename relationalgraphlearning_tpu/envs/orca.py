@@ -274,3 +274,30 @@ def centralized_orca_step(
 
     new_v = jax.vmap(one_agent)(jnp.arange(n))
     return jnp.where(active[..., None], new_v, jnp.zeros_like(new_v))
+
+
+def centralized_orca_step_knn(
+    positions: Array, velocities: Array, radii: Array,
+    pref_vels: Array, max_speeds: Array, active: Array,
+    params: ORCAParams, max_neighbors: int = 10,
+) -> Array:
+    """Large-crowd variant: each agent builds ORCA lines only against its
+    ``max_neighbors`` nearest agents (RVO2's ``maxNeighbors=10`` semantics —
+    the all-pairs ``centralized_orca_step`` is exact for small crowds but
+    O(n²) lines; this is O(n·K), making 10k+-agent synthetic crowds
+    steppable on device)."""
+    from relationalgraphlearning_tpu.ops.sparse import knn_graph
+
+    cols = knn_graph(positions, max_neighbors, valid=active)  # [n, K]
+
+    def one_agent(i):
+        idx = cols[i]
+        valid = active[idx] & (idx != i)
+        return orca_velocity(
+            positions[i], velocities[i], radii[i], pref_vels[i],
+            max_speeds[i], positions[idx], velocities[idx], radii[idx],
+            valid, params)
+
+    n = positions.shape[0]
+    new_v = jax.vmap(one_agent)(jnp.arange(n))
+    return jnp.where(active[..., None], new_v, jnp.zeros_like(new_v))
