@@ -149,8 +149,12 @@ def train(config: Config, policy_name: str, output_dir: str,
 
     il_ckpt = os.path.join(output_dir, "il_model")
     rl_ckpt = os.path.join(output_dir, "rl_model")
+    resumed_rl = False
     if resume and ckpt.exists(rl_ckpt):
-        state = ckpt.restore(rl_ckpt, state)
+        # rl checkpoints carry the RL optimizer's state — template must match
+        trainer.set_learning_rate(tc.rl_learning_rate, tc.optimizer)
+        state = ckpt.restore(rl_ckpt, trainer.init(params))
+        resumed_rl = True
         log.info("resumed RL checkpoint from %s", rl_ckpt)
     elif resume and ckpt.exists(il_ckpt):
         state = ckpt.restore(il_ckpt, state)
@@ -205,9 +209,10 @@ def train(config: Config, policy_name: str, output_dir: str,
                  float(ev.avg_nav_time), float(ev.avg_return))
 
     # ---------------------------------------------------------- phase 2: RL
-    trainer.set_learning_rate(tc.rl_learning_rate, tc.optimizer)
-    state = TrainState(state.params, state.target_params,
-                       trainer.tx.init(state.params))
+    if not resumed_rl:
+        trainer.set_learning_rate(tc.rl_learning_rate, tc.optimizer)
+        state = TrainState(state.params, state.target_params,
+                           trainer.tx.init(state.params))
 
     key, k_carry = jax.random.split(key)
     carry = explorer.init_carry(B, sim.train_seed_offset, k_carry)
