@@ -26,8 +26,6 @@ is exercised for correctness in interpreter mode; flip the gate when the
 Mosaic gather path lands.
 """
 
-_MOSAIC_GATHER_OK = False  # v5e Mosaic backend crashes on dynamic_gather
-
 from __future__ import annotations
 
 import functools
@@ -47,6 +45,7 @@ except Exception:  # pragma: no cover
 
 _NEG = -1e30
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom of the ~16MB/core
+_MOSAIC_GATHER_OK = False  # v5e Mosaic backend crashes on dynamic_gather
 
 
 def _kernel(cols_ref, mask_ref, q_ref, x_ref, v_ref, out_ref):

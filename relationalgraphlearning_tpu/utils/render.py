@@ -110,6 +110,13 @@ def render_traj(traj: EpisodeTrajectory, path: str, stride: int = 16):
             ax.add_artist(plt.Circle(traj.humans[t, i, :2],
                                      traj.humans[t, i, T.RADIUS],
                                      fill=False, color=cmap(i)))
+            # attention-weight overlay (parity: reference stores self.A and
+            # test.py can display per-human attention)
+            if traj.attention is not None and t < len(traj.attention):
+                ax.text(traj.humans[t, i, 0] + 0.15,
+                        traj.humans[t, i, 1] + 0.15,
+                        f"{traj.attention[t, i + 1]:.2f}", fontsize=6,
+                        color=cmap(i))
     ax.plot(traj.robot[0, T.GX], traj.robot[0, T.GY], "r*", markersize=14,
             label="goal")
     ax.legend(loc="upper left")
