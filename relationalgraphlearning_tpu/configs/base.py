@@ -113,7 +113,13 @@ class MPRLConfig:
     planning_depth: int = 2
     planning_width: int = 2
     do_action_clip: bool = True
+    # sparse_search: action_clip picks top-value actions subject to coarse
+    # (speed, rotation)-bucket diversity instead of plain top-k (parity:
+    # ModelPredictiveRL.action_clip's sparse_search branch with its hardcoded
+    # sparse_speed_samples=2 / sparse_rotation_samples=8).
     sparse_search: bool = False
+    sparse_speed_samples: int = 2
+    sparse_rotation_samples: int = 8
     share_graph_model: bool = False
     linear_state_predictor: bool = False
     motion_predictor_dims: Tuple[int, ...] = (64, 5)
@@ -142,6 +148,10 @@ class PolicyConfig:
     om_cell_num: int = 4
     om_cell_size: float = 1.0
     om_channel_size: int = 3
+    # one-step baselines: propagate humans through the env's privileged
+    # one-step lookahead (parity: MultiHumanRL.predict query_env=True →
+    # env.onestep_lookahead) instead of constant velocity.
+    query_env: bool = False
 
 
 @dataclass(frozen=True)

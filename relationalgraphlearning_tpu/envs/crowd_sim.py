@@ -198,6 +198,38 @@ class CrowdSim:
         result state discarded by the caller."""
         return self.step(state, action)
 
+    def lookahead_actions(self, state: EnvState, actions: Array
+                          ) -> tuple[Array, Array, Array]:
+        """Privileged one-step lookahead over a whole action sweep.
+
+        Parity: ``MultiHumanRL.predict`` with ``query_env=True`` calling
+        ``env.onestep_lookahead(action)`` once per action — here the human
+        crowd step (which does not depend on the robot's action) runs ONCE
+        and only the cheap reward check sweeps over actions.
+
+        Returns ``(rewards [A], next_robot [A, 9], next_humans_obs [N, 5])``.
+        """
+        cfg = self.cfg
+        dt = cfg.time_step
+        human_v = self.human_velocities(state)
+        t_next = (state.step.astype(jnp.float32) + 1.0) * dt
+
+        A = actions.shape[0]
+        robot_b = jnp.broadcast_to(state.robot, (A, 9))
+        obs = T.observable(state.humans)
+        obs_b = jnp.broadcast_to(obs, (A,) + obs.shape)
+        r = compute_reward(
+            robot_b, obs_b, jnp.broadcast_to(human_v, (A,) + human_v.shape),
+            actions, jnp.broadcast_to(t_next, (A,)), cfg)
+
+        from relationalgraphlearning_tpu.geometry import propagate_full_state
+
+        next_robot = propagate_full_state(
+            robot_b, actions, dt, cfg.robot_kinematics)
+        next_obs = obs.at[..., T.PX:T.PY + 1].add(human_v * dt) \
+            .at[..., T.VX:T.VY + 1].set(human_v)
+        return r.reward, next_robot, next_obs
+
     def joint_state(self, state: EnvState) -> T.JointState:
         """Robot full state + human observable states — the policy input
         (parity: ``Robot.act`` building ``JointState``)."""

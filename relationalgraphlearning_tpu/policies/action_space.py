@@ -40,3 +40,22 @@ def build_action_space(cfg: ActionSpaceConfig, v_pref: float,
             else:
                 actions.append(np.array([speed, rotation], np.float32))
     return np.stack(actions)  # [A, 2]
+
+
+def build_action_group_index(cfg: ActionSpaceConfig, sparse_speed_samples: int,
+                             sparse_rotation_samples: int) -> np.ndarray:
+    """Coarse (speed, rotation) bucket id per action, aligned with
+    ``build_action_space`` ordering (stop first, then rotation-major).
+
+    Parity: ``ModelPredictiveRL``'s ``self.action_group_index`` used by the
+    ``sparse_search`` branch of ``action_clip`` — clipped actions are the
+    highest-valued ones drawn from *distinct* coarse buckets, forcing
+    directional diversity into the planning tree.
+    """
+    groups = [0]  # stop action: its own group
+    for i in range(cfg.rotation_samples):
+        rot_bucket = i * sparse_rotation_samples // cfg.rotation_samples
+        for j in range(cfg.speed_samples):
+            speed_bucket = j * sparse_speed_samples // cfg.speed_samples
+            groups.append(1 + rot_bucket * sparse_speed_samples + speed_bucket)
+    return np.asarray(groups, np.int32)  # [A]

@@ -32,7 +32,8 @@ from relationalgraphlearning_tpu import types as T
 from relationalgraphlearning_tpu.configs.base import EnvConfig, PolicyConfig
 from relationalgraphlearning_tpu.envs.reward import estimate_reward
 from relationalgraphlearning_tpu.models.mprl_networks import MPRLNetworks
-from relationalgraphlearning_tpu.policies.action_space import build_action_space
+from relationalgraphlearning_tpu.policies.action_space import (
+    build_action_group_index, build_action_space)
 from relationalgraphlearning_tpu.policies.base import BasePolicy, epsilon_greedy
 
 
@@ -47,8 +48,12 @@ class ModelPredictiveRLPolicy(BasePolicy):
         self.depth = policy_cfg.mprl.planning_depth
         self.width = policy_cfg.mprl.planning_width
         self.do_action_clip = policy_cfg.mprl.do_action_clip
+        self.sparse_search = policy_cfg.mprl.sparse_search
         self.action_space = jnp.asarray(build_action_space(
             policy_cfg.action_space, env_cfg.robot_v_pref, self.kinematics))
+        self.action_group_index = jnp.asarray(build_action_group_index(
+            policy_cfg.action_space, policy_cfg.mprl.sparse_speed_samples,
+            policy_cfg.mprl.sparse_rotation_samples))
         self.module = MPRLNetworks(
             policy_cfg, time_step=env_cfg.time_step, kinematics=self.kinematics)
 
@@ -101,11 +106,29 @@ class ModelPredictiveRLPolicy(BasePolicy):
             self.action_space, robot.shape[:-1] + (A, 2))
         rew, nr, nh = self._expand(params, robot, humans, acts)
         v1 = rew + self._gamma_bar(robot)[..., None] * self.value(params, nr, nh)
-        _, idx = jax.lax.top_k(v1, width)  # [..., width]
+        if self.sparse_search:
+            idx = self._sparse_topk(v1, width)  # [..., width]
+        else:
+            _, idx = jax.lax.top_k(v1, width)  # [..., width]
         gather = lambda x, extra: jnp.take_along_axis(
             x, idx.reshape(idx.shape + (1,) * extra), axis=len(idx.shape) - 1)
         return (gather(acts, 1), gather(rew, 0),
                 gather(nr, 1), gather(nh, 2))
+
+    def _sparse_topk(self, v1: Array, width: int) -> Array:
+        """Group-diverse top-k (parity: ``action_clip`` sparse_search branch):
+        walk actions in descending one-step value, skipping any whose coarse
+        (speed, rotation) bucket is already represented. Batched: `width`
+        unrolled masked-argmax rounds (width is 1–4; buckets ≈ 17)."""
+        groups = self.action_group_index  # [A]
+        masked = v1
+        picks = []
+        for _ in range(width):
+            i = jnp.argmax(masked, axis=-1)  # [...]
+            picks.append(i)
+            g = jnp.take(groups, i)  # [...]
+            masked = jnp.where(groups == g[..., None], -jnp.inf, masked)
+        return jnp.stack(picks, axis=-1)  # [..., width]
 
     def v_planning(self, params: Any, robot: Array, humans: Array,
                    depth: int) -> Array:

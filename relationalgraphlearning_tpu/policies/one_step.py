@@ -51,6 +51,9 @@ class OneStepLookaheadPolicy(BasePolicy):
         self.module = None  # set by subclass
         self.rotate = True  # value net consumes rotated rows
         self.with_om = policy_cfg.with_om
+        # parity: MultiHumanRL.predict query_env — humans propagated through
+        # the env's privileged onestep_lookahead instead of const velocity.
+        self.query_env = policy_cfg.query_env
 
     # -- value-net input ----------------------------------------------------
     def net_input(self, robot: Array, humans: Array) -> Array:
@@ -92,6 +95,25 @@ class OneStepLookaheadPolicy(BasePolicy):
     def predict(self, params: Any, js: T.JointState, key: Array,
                 epsilon: Array) -> Array:
         returns = self.action_values(params, js)
+        greedy = self.action_space[jnp.argmax(returns)]
+        return epsilon_greedy(greedy, self.action_space, key, epsilon)
+
+    # -- privileged env-queried lookahead (parity: query_env=True) ----------
+    def action_values_env(self, params: Any, env, env_state) -> Array:
+        """One-step return per action with humans propagated by the env's
+        own crowd dynamics (``CrowdSim.lookahead_actions``): [A]."""
+        rew, next_robot, next_obs = env.lookahead_actions(
+            env_state, self.action_space)
+        A = self.action_space.shape[0]
+        v_next = self.value(
+            params, next_robot, jnp.broadcast_to(next_obs, (A,) + next_obs.shape))
+        gamma_bar = self.gamma ** (
+            self.env_cfg.time_step * env_state.robot[..., T.VPREF])
+        return rew + gamma_bar * v_next
+
+    def predict_env(self, params: Any, env, env_state, key: Array,
+                    epsilon: Array) -> Array:
+        returns = self.action_values_env(params, env, env_state)
         greedy = self.action_space[jnp.argmax(returns)]
         return epsilon_greedy(greedy, self.action_space, key, epsilon)
 

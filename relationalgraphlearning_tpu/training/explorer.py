@@ -83,8 +83,14 @@ class Explorer:
 
     # --------------------------------------------------------------- predict
     def _act(self, params, states: EnvState, key: Array, epsilon: Array):
-        js = T.JointState(states.robot, T.observable(states.humans))
         keys = jax.random.split(key, states.robot.shape[0])
+        if getattr(self.policy, "query_env", False):
+            # privileged lookahead (parity: MultiHumanRL query_env=True) —
+            # the policy reads the env's own crowd dynamics for s'.
+            return jax.vmap(
+                lambda s, k: self.policy.predict_env(
+                    params, self.env, s, k, epsilon))(states, keys)
+        js = T.JointState(states.robot, T.observable(states.humans))
         return jax.vmap(
             lambda s, k: self.policy.predict(params, s, k, epsilon))(js, keys)
 

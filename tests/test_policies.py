@@ -190,3 +190,94 @@ def test_orca_robot_policy_and_linear():
     to_goal = np.asarray(T.goal(js.robot) - T.position(js.robot))
     cos = act @ to_goal / (np.linalg.norm(act) * np.linalg.norm(to_goal))
     assert cos == pytest.approx(1.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------- sparse search
+def test_action_group_index_layout():
+    from relationalgraphlearning_tpu.policies.action_space import (
+        build_action_group_index)
+    groups = build_action_group_index(ActionSpaceConfig(), 2, 8)
+    assert groups.shape == (81,)
+    assert groups[0] == 0  # stop action: own group
+    # 8 rotation buckets x 2 speed buckets + stop
+    assert len(set(groups.tolist())) == 17
+    # rotation-major ordering: actions 1..5 (first rotation, 5 speeds) map to
+    # rotation bucket 0, speed buckets [0,0,0,1,1] (j*2//5)
+    np.testing.assert_array_equal(groups[1:6] - 1, [0, 0, 0, 1, 1])
+
+
+def test_mprl_sparse_search_clip():
+    pcfg = PolicyConfig(mprl=MPRLConfig(
+        planning_depth=2, planning_width=3, do_action_clip=True,
+        sparse_search=True))
+    pol = make_policy("model_predictive_rl", pcfg, ENV)
+    groups = np.asarray(pol.action_group_index)
+
+    # synthetic one-step values: check the group-diverse selection against a
+    # sequential reference (descending value, skip already-taken groups)
+    rng = np.random.default_rng(0)
+    v1 = jnp.asarray(rng.normal(size=(4, 81)).astype(np.float32))
+    idx = np.asarray(pol._sparse_topk(v1, 3))
+    for b in range(4):
+        taken, expect = set(), []
+        for i in np.argsort(-np.asarray(v1[b])):
+            if groups[i] not in taken:
+                expect.append(i)
+                taken.add(groups[i])
+            if len(expect) == 3:
+                break
+        np.testing.assert_array_equal(idx[b], expect)
+
+    # end-to-end predict still works under jit
+    params = pol.init_params(jax.random.PRNGKey(0))
+    act = jax.jit(lambda p, s, k: pol.predict(p, s, k, jnp.asarray(0.0)))(
+        params, _js(), jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(act)))
+
+
+# ------------------------------------------------------------------- query_env
+def test_query_env_matches_const_velocity_when_linear():
+    """With linear humans already moving at their preferred velocity, the
+    env-queried lookahead must equal the constant-velocity lookahead."""
+    env_cfg = EnvConfig(human_policy="linear")
+    env = CrowdSim(env_cfg)
+    s, _ = env.reset(case_key(0, 0, jnp.asarray(0)))
+    # set human velocities to exactly their linear-policy step velocity
+    to_goal = T.goal(s.humans) - T.position(s.humans)
+    dist = jnp.linalg.norm(to_goal, axis=-1, keepdims=True)
+    pref = to_goal / jnp.maximum(dist, 1e-9) * s.humans[..., T.VPREF, None]
+    humans = s.humans.at[..., T.VX:T.VY + 1].set(pref)
+    s = s._replace(humans=humans)
+
+    pol = make_policy("sarl", PolicyConfig(query_env=True), env_cfg)
+    assert pol.query_env
+    params = pol.init_params(jax.random.PRNGKey(0))
+    js = T.JointState(s.robot, T.observable(s.humans))
+    va = pol.action_values(params, js)
+    ve = pol.action_values_env(params, env, s)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(ve), atol=1e-5)
+
+
+def test_query_env_rollout_orca():
+    """query_env policy drives a full explorer rollout with ORCA humans and
+    differs from the const-velocity lookahead (humans actually avoid)."""
+    from relationalgraphlearning_tpu.training.explorer import Explorer
+
+    env_cfg = EnvConfig(human_policy="orca")
+    env = CrowdSim(env_cfg)
+    pol = make_policy("sarl", PolicyConfig(query_env=True), env_cfg)
+    params = pol.init_params(jax.random.PRNGKey(0))
+
+    ex = Explorer(env, pol, 0.9)
+    carry = ex.init_carry(4, 0, jax.random.PRNGKey(1))
+    carry, traj = jax.jit(
+        lambda c: ex.collect(params, c, 8, jnp.asarray(0.0), 0))(carry)
+    assert np.all(np.isfinite(np.asarray(traj.reward)))
+
+    s, _ = env.reset(case_key(0, 0, jnp.asarray(3)))
+    out = env.step(s, jnp.zeros(2))
+    s2 = out.state  # a step in: humans now have nonzero velocities
+    js = T.JointState(s2.robot, T.observable(s2.humans))
+    va = np.asarray(pol.action_values(params, js))
+    ve = np.asarray(pol.action_values_env(params, env, s2))
+    assert not np.allclose(va, ve, atol=1e-6)
