@@ -30,6 +30,12 @@ def main(argv=None):
     p.add_argument("--phase", default="test", choices=["val", "test"])
     p.add_argument("--test_size", type=int, default=None)
     p.add_argument("--human_num", type=int, default=None)
+    # test-time planner overrides (the value/dynamics nets are depth/width
+    # agnostic, so the planning tree can be re-shaped at evaluation — parity
+    # with the reference's planning_depth/planning_width test sweeps)
+    p.add_argument("--planning_depth", type=int, default=None)
+    p.add_argument("--planning_width", type=int, default=None)
+    p.add_argument("--sparse_search", action="store_true", default=None)
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--test_case", type=int, default=0)
     p.add_argument("--traj", default=None, help="save trajectory plot to PNG")
@@ -67,6 +73,15 @@ def main(argv=None):
             config, env=dataclasses.replace(
                 config.env, sim=dataclasses.replace(
                     config.env.sim, human_num=args.human_num)))
+    mprl_over = {k: v for k, v in (
+        ("planning_depth", args.planning_depth),
+        ("planning_width", args.planning_width),
+        ("sparse_search", args.sparse_search)) if v is not None}
+    if mprl_over:
+        config = dataclasses.replace(
+            config, policy=dataclasses.replace(
+                config.policy, mprl=dataclasses.replace(
+                    config.policy.mprl, **mprl_over)))
 
     art = build(config, args.policy)
     params = art.policy.init_params(jax.random.PRNGKey(0))

@@ -154,7 +154,10 @@ class ModelPredictiveRLPolicy(BasePolicy):
         A = self.action_space.shape[0]
         acts = jnp.broadcast_to(self.action_space, js.robot.shape[:-1] + (A, 2))
         rew, nr, nh = self._expand(params, js.robot, js.humans, acts)
-        v_next = self.v_planning(params, nr, nh, self.depth - 1)
+        # parity: predict passes the FULL planning_depth to V_planning on the
+        # next state — V_planning counts the node it is called on (depth==1 is
+        # the leaf), so a d-step plan is root action + V_planning(s', d).
+        v_next = self.v_planning(params, nr, nh, self.depth)
         return rew + self._gamma_bar(js.robot)[..., None] * v_next
 
     def predict(self, params: Any, js: T.JointState, key: Array,
@@ -164,7 +167,7 @@ class ModelPredictiveRLPolicy(BasePolicy):
         if self.do_action_clip and self.depth > 1:
             acts, rew, nr, nh = self._clip_actions(
                 params, js.robot, js.humans, self.width)
-            v_next = self.v_planning(params, nr, nh, self.depth - 1)
+            v_next = self.v_planning(params, nr, nh, self.depth)  # see above
             returns = rew + self._gamma_bar(js.robot)[..., None] * v_next
             greedy = jnp.take_along_axis(
                 acts, jnp.argmax(returns, axis=-1)[..., None, None], axis=-2

@@ -95,7 +95,7 @@ def render_traj(traj: EpisodeTrajectory, path: str, stride: int = 16):
     fig, ax = plt.subplots(figsize=(7, 7))
     _setup_ax(ax)
     Tn, N = traj.humans.shape[0], traj.humans.shape[1]
-    cmap = plt.cm.get_cmap("tab10", N) if hasattr(plt.cm, "get_cmap") else plt.colormaps["tab10"]
+    cmap = plt.colormaps["tab10"]
     ax.plot(traj.robot[:, 0], traj.robot[:, 1], "-", color="gold", lw=2,
             label="robot")
     for i in range(N):

@@ -162,6 +162,45 @@ def test_mprl_depth1_equals_one_step():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_mprl_depth2_matches_reference_recursion():
+    """depth=2 planning follows the reference V_planning recursion:
+    Q(s,a) = r(s,a) + gamma_bar(s) * V_planning(s', 2) with
+    V_planning(s', 2) = max_a' [ V(s')/2 + 1/2*(r(s',a') + gamma_bar(s')*V(s''))].
+    predict passes the FULL planning_depth to V_planning on the next state
+    (V_planning counts the node it is called on; depth==1 is the leaf)."""
+    pcfg = PolicyConfig(mprl=MPRLConfig(planning_depth=2, do_action_clip=False))
+    pol = make_policy("model_predictive_rl", pcfg, ENV)
+    params = pol.init_params(jax.random.PRNGKey(0))
+    js = _js()
+    vals = jax.jit(pol.action_values)(params, js)
+
+    from relationalgraphlearning_tpu.envs.reward import estimate_reward
+    A = pol.action_space.shape[0]
+
+    def expand(robot, humans):
+        rb = jnp.broadcast_to(robot[..., None, :], robot.shape[:-1] + (A, 9))
+        hb = jnp.broadcast_to(humans[..., None, :, :],
+                              humans.shape[:-2] + (A,) + humans.shape[-2:])
+        acts = jnp.broadcast_to(pol.action_space, robot.shape[:-1] + (A, 2))
+        r = estimate_reward(rb, hb, acts, ENV).reward
+        nr, nh = pol.next_state(params, rb, hb, acts)
+        return r, nr, nh
+
+    gbar = lambda robot: PCFG.gamma ** (ENV.time_step * robot[..., T.VPREF])
+    r1, nr1, nh1 = expand(js.robot, js.humans)          # root: [A]
+    r2, nr2, nh2 = expand(nr1, nh1)                     # level 2: [A, A]
+    v_leaf = pol.value(params, nr2, nh2)                # [A, A]
+    v_mid = pol.value(params, nr1, nh1)                 # [A]
+    vp2 = jnp.max(v_mid[..., None] / 2.0
+                  + 0.5 * (r2 + gbar(nr1)[..., None] * v_leaf), axis=-1)
+    expected = r1 + gbar(js.robot) * vp2
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(expected),
+                               rtol=1e-4, atol=1e-5)
+    # and depth=2 must actually differ from one-step lookahead
+    one_step = r1 + gbar(js.robot) * v_mid
+    assert not np.allclose(np.asarray(vals), np.asarray(one_step))
+
+
 def test_mprl_batched_predict():
     pcfg = PolicyConfig(mprl=MPRLConfig(planning_depth=2, planning_width=2))
     pol = make_policy("model_predictive_rl", pcfg, ENV)
