@@ -60,8 +60,14 @@ def cpu_baseline_steps_per_s(seconds: float = 3.0) -> float:
 
 
 def tpu_steps_per_s(batch: int = 1024, horizon: int = 128,
-                    repeats: int = 3) -> float:
-    """Auto-reset collector: every step is a live env step."""
+                    repeats: int = 3, trials: int = 5) -> float:
+    """Auto-reset collector: every step is a live env step.
+
+    Median of ``trials`` timed trials (each ``repeats`` back-to-back
+    dispatches) so one noisy tunnel round-trip can't skew the headline.
+    """
+    import statistics
+
     from relationalgraphlearning_tpu.configs.base import EnvConfig, PolicyConfig
     from relationalgraphlearning_tpu.envs.crowd_sim import CrowdSim
     from relationalgraphlearning_tpu.policies import make_policy
@@ -78,24 +84,42 @@ def tpu_steps_per_s(batch: int = 1024, horizon: int = 128,
     carry, traj = collect(carry)  # compile + warm
     jax.block_until_ready(traj.reward)
 
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        carry, traj = collect(carry)
-    jax.block_until_ready(traj.reward)
-    dt = time.perf_counter() - t0
-    return batch * horizon * repeats / dt
+    rates = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            carry, traj = collect(carry)
+        jax.block_until_ready(traj.reward)
+        rates.append(batch * horizon * repeats / (time.perf_counter() - t0))
+    return statistics.median(rates)
 
 
 def main():
+    batch, horizon = 1024, 128
     cpu = cpu_baseline_steps_per_s()
-    tpu = tpu_steps_per_s()
+    tpu = tpu_steps_per_s(batch, horizon)
+
+    # secondary metrics (PERF.md's richer numbers, folded into the one JSON
+    # line so the driver's single-line contract captures them too)
+    import bench_extra
+
+    decisions, latency = bench_extra.planning_throughput()
+    edges = bench_extra.edges_throughput()
     print(json.dumps({
         "metric": "env-steps/s",
         "value": round(tpu, 1),
         "unit": "steps/s",
         "vs_baseline": round(tpu / cpu, 2),
         "baseline_cpu_python_loop": round(cpu, 1),
+        "batch": batch,
+        "horizon": horizon,
+        "trials": "median of 5",
         "device": str(jax.devices()[0]),
+        "extra": {
+            "planning_decisions_per_s_d2": round(decisions, 1),
+            "planning_latency_ms": round(latency * 1e3, 3),
+            "relation_gedges_per_s": round(edges / 1e9, 2),
+        },
     }))
 
 

@@ -1,0 +1,176 @@
+"""Roofline analysis for the graph hot path (BASELINE gate: "SpMM/SDDMM
+edges/s per chip: speed-of-light analysis + measured").
+
+Measures on the attached chip:
+  1. empirical ceilings — MXU matmul flops (f32 + bf16), VPU elementwise
+     flops, HBM copy bandwidth;
+  2. the fused SDDMM→softmax→SpMM chain (XLA path) at benchmark shapes;
+  3. optional Pallas path when the Mosaic gate is open.
+
+Speed-of-light argument: at K=16 neighbors the SDDMM/SpMM einsums are
+batched length-d matvecs — too small to tile onto the 128×128 MXU, so their
+ceiling is the VPU, not the MXU. flops/edge = 2·(d + dv) (+ ~6 softmax VPU
+ops); the chain is VPU-compute-bound once node tables are VMEM-resident
+(n·d·4B ≈ 2 MB at n=8192 — XLA keeps them on-chip, which is why measured
+bytes/edge is far below HBM cost). MFU below is therefore reported against
+the measured VPU ceiling, plus the MXU ratio for reference.
+
+Prints one JSON line per measurement; writes docs/ROOFLINE.json.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from relationalgraphlearning_tpu.utils import compile_cache
+
+compile_cache.enable()
+
+
+def _med_time(fn, *args, reps=10, trials=5):
+    import statistics
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append((time.perf_counter() - t0) / reps)
+    return statistics.median(ts)
+
+
+def mxu_peak(dtype, m=4096, inner=16):
+    a = jnp.ones((m, m), dtype)
+    b = jnp.ones((m, m), dtype)
+
+    @jax.jit
+    def f(a, b):
+        def body(a, _):
+            return jnp.dot(a, b, preferred_element_type=dtype), None
+        a, _ = jax.lax.scan(body, a, None, inner)
+        return a
+
+    dt = _med_time(f, a, b, reps=3)
+    return 2 * m * m * m * inner / dt
+
+
+def vpu_peak(n=4096 * 2048, inner=64):
+    x = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def f(x):
+        def body(x, _):
+            return x * 1.0000001 + 1e-9, None  # 1 FMA = 2 flops/elem
+        x, _ = jax.lax.scan(body, x, None, inner)
+        return x
+
+    dt = _med_time(f, x, reps=3)
+    return 2 * n * inner / dt
+
+
+def hbm_bw(mb=512, inner=8):
+    n = mb * 1024 * 1024 // 4
+    x = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def f(x):
+        def body(x, _):
+            return x + 1.0, None
+        x, _ = jax.lax.scan(body, x, None, inner)
+        return x
+
+    dt = _med_time(f, x, reps=3)
+    return 2 * 4 * n * inner / dt  # read + write per pass
+
+
+def graph_chain(n=8192, K=16, d=64, inner=100, dtype=jnp.float32,
+                use_pallas=False):
+    from relationalgraphlearning_tpu.ops import sparse
+    from relationalgraphlearning_tpu.ops import pallas_graph
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (n, d), dtype)
+    x = jax.random.normal(ks[1], (n, d), dtype)
+    v = jax.random.normal(ks[2], (n, d), dtype)
+    cols = sparse.knn_graph(jax.random.uniform(ks[3], (n, 2)) * 100, K)
+    mask = jnp.ones((n, K), bool)
+
+    @jax.jit
+    def f(q, x, v, cols, mask):
+        def body(v, _):
+            if use_pallas:
+                out = pallas_graph.fused_neighbor_attention(q, x, v, cols, mask)
+            else:
+                s = sparse.sddmm_fixed_k(q, x, cols, mask)
+                a = sparse.neighbor_softmax(s, mask)
+                out = sparse.spmm_fixed_k(a, v, cols)
+            return out.astype(dtype), None
+
+        v, _ = jax.lax.scan(body, v, None, inner)
+        return v
+
+    dt = _med_time(f, q, x, v, cols, mask, reps=3)
+    edges = n * K * inner
+    return edges / dt
+
+
+def main():
+    dev = str(jax.devices()[0])
+    res = {"device": dev}
+
+    res["mxu_f32_tflops"] = round(mxu_peak(jnp.float32) / 1e12, 1)
+    res["mxu_bf16_tflops"] = round(mxu_peak(jnp.bfloat16) / 1e12, 1)
+    res["vpu_f32_tflops"] = round(vpu_peak() / 1e12, 2)
+    res["hbm_gb_s"] = round(hbm_bw() / 1e9, 1)
+    for k in ("mxu_f32_tflops", "mxu_bf16_tflops", "vpu_f32_tflops",
+              "hbm_gb_s"):
+        print(json.dumps({"metric": f"ceiling {k}", "value": res[k]}))
+
+    n, K, d = 8192, 16, 64
+    flops_per_edge = 2 * (d + d) + 6  # SDDMM + SpMM FMAs + softmax ops
+    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        e = graph_chain(n=n, K=K, d=d, dtype=dtype)
+        eff = e * flops_per_edge
+        res[f"chain_{tag}_gedges_s"] = round(e / 1e9, 2)
+        res[f"chain_{tag}_eff_tflops"] = round(eff / 1e12, 2)
+        res[f"chain_{tag}_vs_vpu"] = round(
+            eff / (res["vpu_f32_tflops"] * 1e12), 3)
+        print(json.dumps({
+            "metric": f"graph chain ({tag}, n={n}, K={K}, d={d})",
+            "gedges_per_s": res[f"chain_{tag}_gedges_s"],
+            "effective_tflops": res[f"chain_{tag}_eff_tflops"],
+            "fraction_of_vpu_ceiling": res[f"chain_{tag}_vs_vpu"],
+        }))
+
+    # HBM-roundtrip speed-of-light for comparison: if every gathered
+    # neighbor row came from HBM, bytes/edge = 2 tables · d · 4B
+    hbm_sol = res["hbm_gb_s"] * 1e9 / (2 * d * 4)
+    res["hbm_sol_gedges_s"] = round(hbm_sol / 1e9, 2)
+    print(json.dumps({
+        "metric": "HBM-bound speed-of-light (if gathers left chip)",
+        "gedges_per_s": res["hbm_sol_gedges_s"],
+        "note": "measured chain exceeding this proves VMEM-resident gathers",
+    }))
+
+    from relationalgraphlearning_tpu.ops import pallas_graph
+    if pallas_graph._MOSAIC_GATHER_OK:
+        e = graph_chain(n=n, K=K, d=d, use_pallas=True)
+        res["chain_pallas_gedges_s"] = round(e / 1e9, 2)
+        print(json.dumps({"metric": "graph chain (pallas fused)",
+                          "gedges_per_s": res["chain_pallas_gedges_s"]}))
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "docs", "ROOFLINE.json")
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({"metric": "written", "path": out}))
+
+
+if __name__ == "__main__":
+    main()

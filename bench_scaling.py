@@ -1,0 +1,88 @@
+"""Weak-scaling measurement of the node-partitioned sparse aggregation on a
+virtual CPU device mesh (D = 1/2/4/8).
+
+Single-chip hardware only in this environment (BASELINE.md), so these are
+CORRECTNESS + PLUMBING numbers — every collective (ppermute ring,
+all_gather) executes for real over the virtual mesh, but CPU "devices" share
+one socket, so efficiency is NOT a TPU ICI prediction. The per-shard problem
+size is fixed (weak scaling): n = n_per_shard · D.
+
+Prints one JSON line per (method, D).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def measure(method: str, n_devices: int, n_per_shard: int = 2048,
+            K: int = 16, inner: int = 8, reps: int = 3) -> float:
+    from relationalgraphlearning_tpu.configs.base import GCNConfig
+    from relationalgraphlearning_tpu.models.sparse_rgl import SparseRGL
+    from relationalgraphlearning_tpu.ops.sparse import knn_graph
+    from relationalgraphlearning_tpu.parallel.graph_partition import (
+        partitioned_sparse_rgl)
+    from relationalgraphlearning_tpu.parallel.mesh import make_mesh
+
+    cfg = GCNConfig()
+    mesh = make_mesh(data=n_devices, model=1,
+                     devices=jax.devices()[:n_devices])
+    n = n_per_shard * n_devices
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(key, (n, 2)) * 100.0
+    states = jnp.concatenate(
+        [pos, jnp.zeros((n, 2)), 0.3 * jnp.ones((n, 1))], axis=-1)
+    cols = knn_graph(pos, K)
+    params = SparseRGL(cfg).init(jax.random.PRNGKey(1), states, cols)
+
+    @jax.jit
+    def run(params, states, cols):
+        def body(s, _):
+            h = partitioned_sparse_rgl(
+                params, cfg, s, cols, mesh, method=method)
+            # re-inject so `inner` forwards chain without host round-trips
+            return s.at[:, 2:4].set(h[:, :2] * 1e-6), None
+
+        s, _ = jax.lax.scan(body, states, None, inner)
+        return s
+
+    with mesh:
+        out = run(params, states, cols)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(params, states, cols)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+    # num_layer aggregation passes per forward
+    return n * K * inner * cfg.num_layer / dt
+
+
+def main():
+    results = {}
+    for method in ("ring", "allgather"):
+        base = None
+        for d in (1, 2, 4, 8):
+            if d > len(jax.devices()):
+                break
+            e = measure(method, d)
+            base = base or e
+            eff = e / (base * d)
+            results[(method, d)] = e
+            print(json.dumps({
+                "metric": f"partitioned edges/s ({method}, D={d}, weak)",
+                "value": round(e / 1e6, 2), "unit": "Medges/s",
+                "scaling_efficiency_vs_D1": round(eff, 3),
+                "note": "virtual CPU mesh — plumbing, not TPU perf",
+            }))
+
+
+if __name__ == "__main__":
+    import os
+
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    jax.config.update("jax_platforms", "cpu")
+    main()

@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--phase", default="test", choices=["val", "test"])
     p.add_argument("--test_size", type=int, default=None)
     p.add_argument("--human_num", type=int, default=None)
+    p.add_argument("--safety_space", type=float, default=None,
+                   help="ORCA robot-policy safety space override (parity: "
+                        "test.py --safety_space; only for --policy orca)")
     # test-time planner overrides (the value/dynamics nets are depth/width
     # agnostic, so the planning tree can be re-shaped at evaluation — parity
     # with the reference's planning_depth/planning_width test sweeps)
@@ -83,7 +86,12 @@ def main(argv=None):
                 config.policy, mprl=dataclasses.replace(
                     config.policy.mprl, **mprl_over)))
 
-    art = build(config, args.policy)
+    policy_kwargs = {}
+    if args.safety_space is not None:
+        if args.policy != "orca":
+            p.error("--safety_space only applies to --policy orca")
+        policy_kwargs["safety_space"] = args.safety_space
+    art = build(config, args.policy, policy_kwargs=policy_kwargs)
     params = art.policy.init_params(jax.random.PRNGKey(0))
     state = art.trainer.init(params)
     if args.il:
@@ -129,6 +137,33 @@ def main(argv=None):
         args.phase, size, float(ev.success_rate), float(ev.collision_rate),
         float(ev.timeout_rate), float(ev.avg_nav_time), float(ev.avg_return),
         float(ev.danger_frequency), float(ev.avg_min_dist))
+    # machine-readable record for reproduce_quality.py and audits
+    import json
+
+    record = {
+        "policy": args.policy, "phase": args.phase, "cases": size,
+        "checkpoint": name,
+        "success_rate": float(ev.success_rate),
+        "collision_rate": float(ev.collision_rate),
+        "timeout_rate": float(ev.timeout_rate),
+        "nav_time": float(ev.avg_nav_time),
+        "return": float(ev.avg_return),
+        "danger_frequency": float(ev.danger_frequency),
+        "avg_min_dist": float(ev.avg_min_dist),
+    }
+    if mprl_over:
+        record["planner_overrides"] = mprl_over
+    suffix = ""
+    if args.planning_depth is not None:
+        suffix += f"_d{args.planning_depth}"
+    if args.planning_width is not None:
+        suffix += f"_w{args.planning_width}"
+    if args.sparse_search:
+        suffix += "_sparse"
+    out_json = os.path.join(
+        args.model_dir, f"eval_{args.phase}{suffix}.json")
+    with open(out_json, "w") as f:
+        json.dump(record, f, indent=1)
     return ev
 
 

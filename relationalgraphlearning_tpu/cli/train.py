@@ -35,6 +35,16 @@ def main(argv=None):
                    help="force a JAX platform (default: auto/TPU)")
     p.add_argument("--train_envs", type=int, default=16)
     p.add_argument("--collect_steps", type=int, default=64)
+    p.add_argument("--rl_train_episodes", type=int, default=None,
+                   help="override config.train.rl_train_episodes")
+    p.add_argument("--evaluation_interval", type=int, default=None,
+                   help="override config.train.evaluation_interval (finer "
+                        "cadence tightens best-on-val selection)")
+    p.add_argument("--target_update_interval", type=int, default=None)
+    p.add_argument("--rl_learning_rate", type=float, default=None)
+    p.add_argument("--val_size", type=int, default=None,
+                   help="override config.env.sim.val_size (larger val set "
+                        "de-noises best-on-val checkpoint selection)")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of the run")
     args = p.parse_args(argv)
@@ -75,6 +85,21 @@ def main(argv=None):
         shutil.copy(args.config, os.path.join(args.output_dir, "config.py"))
     else:
         config = Config()
+    import dataclasses
+
+    tc_over = {k: v for k, v in (
+        ("rl_train_episodes", args.rl_train_episodes),
+        ("evaluation_interval", args.evaluation_interval),
+        ("target_update_interval", args.target_update_interval),
+        ("rl_learning_rate", args.rl_learning_rate)) if v is not None}
+    if tc_over:
+        config = dataclasses.replace(
+            config, train=dataclasses.replace(config.train, **tc_over))
+    if args.val_size is not None:
+        config = dataclasses.replace(
+            config, env=dataclasses.replace(
+                config.env, sim=dataclasses.replace(
+                    config.env.sim, val_size=args.val_size)))
     logging.info("policy: %s | config: %s | seed: %d",
                  args.policy, args.config or "<default>", args.randomseed)
 

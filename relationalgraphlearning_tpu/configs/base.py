@@ -165,7 +165,8 @@ class TrainConfig:
     # rl (parity: train.py phase 2)
     rl_train_episodes: int = 10000
     rl_learning_rate: float = 0.001
-    sample_episodes: int = 1
+    # gradient minibatches run per completed episode (parity: train.py calls
+    # trainer.optimize_batch(train_batches) after every sampled episode)
     train_batches: int = 100
     target_update_interval: int = 1000
     evaluation_interval: int = 1000

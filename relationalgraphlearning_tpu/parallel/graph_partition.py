@@ -133,6 +133,21 @@ def partitioned_sparse_rgl(params, cfg, states: Array, cols: Array,
     agg = (ring_neighbor_attention if method == "ring"
            else allgather_neighbor_attention)
 
+    # pad the node dimension up to a multiple of the mesh axis so arbitrary
+    # crowd sizes block-partition evenly; padded rows carry an all-False edge
+    # mask (softmax denominator guard zeroes them) and are sliced back off.
+    n = states.shape[0]
+    D = mesh.shape[axis]
+    pad = (-n) % D
+    if pad:
+        K = cols.shape[-1]
+        if mask is None:
+            mask = jnp.ones((n, K), bool)
+        states = jnp.concatenate(
+            [states, jnp.zeros((pad,) + states.shape[1:], states.dtype)])
+        cols = jnp.concatenate([cols, jnp.zeros((pad, K), cols.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad, K), bool)])
+
     def forward(params, states, cols, mask):
         def apply_sub(name, x):
             return model.apply(params, x,
@@ -156,4 +171,5 @@ def partitioned_sparse_rgl(params, cfg, states: Array, cols: Array,
         forward, mesh=mesh,
         in_specs=(P(), row, row, row if mask is not None else P()),
         out_specs=row, check_vma=False)
-    return fn(params, states, cols, mask)
+    out = fn(params, states, cols, mask)
+    return out[:n] if pad else out

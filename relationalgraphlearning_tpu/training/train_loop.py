@@ -41,6 +41,7 @@ from relationalgraphlearning_tpu.training import replay_buffer as rb
 from relationalgraphlearning_tpu.training.explorer import Explorer, RolloutCarry
 from relationalgraphlearning_tpu.training.metrics import MetricsWriter
 from relationalgraphlearning_tpu.training.trainer import (
+    LossAux,
     MPRLTrainer,
     TrainState,
     VNRLTrainer,
@@ -67,10 +68,11 @@ class TrainerArtifacts(NamedTuple):
     env: CrowdSim
 
 
-def build(config: Config, policy_name: str, base_seed: int = 0
-          ) -> TrainerArtifacts:
+def build(config: Config, policy_name: str, base_seed: int = 0,
+          policy_kwargs: Optional[dict] = None) -> TrainerArtifacts:
     env = CrowdSim(config.env)
-    policy = make_policy(policy_name, config.policy, config.env)
+    policy = make_policy(policy_name, config.policy, config.env,
+                         **(policy_kwargs or {}))
     if isinstance(policy, ModelPredictiveRLPolicy):
         trainer = MPRLTrainer(
             policy,
@@ -218,6 +220,8 @@ def train(config: Config, policy_name: str, output_dir: str,
     carry = explorer.init_carry(B, sim.train_seed_offset, k_carry)
     episodes = 0
     it = 0
+    opt_debt = 0  # episodes whose train_batches sweep is still owed
+    aux = LossAux(jnp.asarray(0.0), jnp.asarray(0.0))
     last_eval_ep = -1
     last_target_ep = 0
     last_ckpt_ep = 0
@@ -232,11 +236,20 @@ def train(config: Config, policy_name: str, output_dir: str,
             state.params, state.target_params, carry, buffer,
             jnp.asarray(epsilon), imitation=False,
             phase_offset=sim.train_seed_offset)
-        episodes += int(stats["episodes"])
+        ep_inc = int(stats["episodes"])
+        episodes += ep_inc
 
-        key, k_opt = jax.random.split(key)
-        state, aux = rl_optimize(state, buffer, k_opt)
-        it += 1
+        # Parity: the reference runs optimize_batch(train_batches) after
+        # EVERY episode (SURVEY.md §3.1) — ~train_batches gradient steps per
+        # episode (1M over a 10k-episode run). The batched collector finishes
+        # ~B*K/len episodes per iteration, so run one train_batches sweep per
+        # completed episode; each sweep is a single jitted lax.scan dispatch.
+        opt_debt += ep_inc
+        while opt_debt > 0:
+            key, k_opt = jax.random.split(key)
+            state, aux = rl_optimize(state, buffer, k_opt)
+            opt_debt -= 1
+            it += 1
 
         if episodes - last_target_ep >= tc.target_update_interval:
             state = trainer.update_target(state)
@@ -261,8 +274,9 @@ def train(config: Config, policy_name: str, output_dir: str,
                 "nav_time": float(ev.avg_nav_time),
                 "return": float(ev.avg_return)}, prefix="val")
             last_eval_ep = episodes
-            # keep the best-on-val snapshot (ties broken by return)
-            score = float(ev.success_rate) - 0.001 * float(ev.collision_rate)
+            # keep the best-on-val snapshot; the discounted return breaks
+            # success-rate ties toward faster, lower-discomfort navigation
+            score = float(ev.success_rate) * 100.0 + float(ev.avg_return)
             if score > best_success:
                 best_success = score
                 ckpt.save(best_ckpt, state)

@@ -135,26 +135,6 @@ class MPRLTrainer:
             body, (state, key), jnp.arange(num_batches))
         return state, jax.tree.map(jnp.mean, aux)
 
-    def optimize_epochs(self, state: TrainState, buffer: rb.ReplayBuffer,
-                        key: Array, num_epochs: int, batch_size: int
-                        ) -> tuple[TrainState, LossAux]:
-        """IL: full sweeps over the filled buffer in shuffled minibatches
-        (parity: ``optimize_epoch`` with a DataLoader over the memory).
-        The filled size is dynamic; scan count uses capacity/batch and
-        masks empty slots via the ``valid`` weights."""
-        steps_per_epoch = max(int(buffer.capacity) // batch_size, 1)
-
-        def body(carry, _):
-            state, key = carry
-            key, sub = jax.random.split(key)
-            batch = rb.sample(buffer, sub, batch_size)
-            state, aux = self.train_step(state, batch, jnp.asarray(1.0))
-            return (state, key), aux
-
-        (state, _), aux = jax.lax.scan(
-            body, (state, key), None, num_epochs * steps_per_epoch)
-        return state, jax.tree.map(jnp.mean, aux)
-
     def update_target(self, state: TrainState) -> TrainState:
         """Hard target-network update (parity: target_update_interval)."""
         return TrainState(state.params, state.params, state.opt_state)

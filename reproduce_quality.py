@@ -1,0 +1,126 @@
+"""Regenerate the PERF.md navigation-quality table from scratch.
+
+Trains every benchmark policy with fixed seeds (IL + RL per SURVEY.md §3.1
+schedules), evaluates each on the 500 seeded test cases (the reference's
+de-facto correctness protocol, SURVEY.md §4: ``test.py --phase test``), and
+emits the aggregate table as markdown + JSON.
+
+Usage:
+    python reproduce_quality.py                 # all runs (~1-2 h on 1 chip)
+    python reproduce_quality.py --only mprl,rgl # subset
+    python reproduce_quality.py --skip_existing # reuse finished runs
+    python reproduce_quality.py --table_only    # just re-emit the table
+
+Each run shells out to the train/test CLIs so a crash in one run cannot take
+down the queue, and every run keeps its own output dir + logs under data/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# (short name, policy, config path, extra test args)
+RUNS = [
+    ("orca", "orca", None, []),  # untrained reference baseline (Table I row)
+    ("mprl", "model_predictive_rl", "configs/icra_benchmark/mp_separate.py", []),
+    ("rgl", "rgl", "configs/icra_benchmark/rgl.py", []),
+    ("sarl", "sarl", "configs/icra_benchmark/sarl.py", []),
+    ("lstm_rl", "lstm_rl", "configs/icra_benchmark/lstm_rl.py", []),
+    ("cadrl", "cadrl", "configs/icra_benchmark/cadrl.py", []),
+    ("mp_unicycle", "model_predictive_rl",
+     "configs/icra_benchmark/mp_unicycle.py", []),
+    ("sarl_om", "sarl", "configs/icra_benchmark/sarl_om.py", []),
+]
+
+
+def run(cmd: list[str], log_path: str) -> int:
+    print(f"$ {' '.join(cmd)}  (log: {log_path})", flush=True)
+    with open(log_path, "a") as f:
+        return subprocess.call(cmd, stdout=f, stderr=subprocess.STDOUT,
+                               cwd=HERE)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", default=None,
+                   help="comma-separated run names to include")
+    p.add_argument("--skip_existing", action="store_true",
+                   help="skip runs whose eval_test.json already exists")
+    p.add_argument("--table_only", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_dir", default="data")
+    args = p.parse_args()
+
+    only = set(args.only.split(",")) if args.only else None
+    runs = [r for r in RUNS if only is None or r[0] in only]
+    os.makedirs(os.path.join(HERE, args.data_dir), exist_ok=True)
+
+    if not args.table_only:
+        for name, policy, config, test_args in runs:
+            outdir = os.path.join(HERE, args.data_dir, name)
+            done = os.path.join(outdir, "eval_test.json")
+            if args.skip_existing and os.path.exists(done):
+                print(f"[{name}] eval_test.json exists — skipping", flush=True)
+                continue
+            os.makedirs(outdir, exist_ok=True)
+            log = os.path.join(outdir, "reproduce.log")
+            t0 = time.time()
+            if config is not None:  # config=None → untrained baseline policy
+                rc = run([sys.executable, "-m",
+                          "relationalgraphlearning_tpu.cli.train",
+                          "--policy", policy, "--config", config,
+                          "--output_dir", outdir, "--overwrite",
+                          "--evaluation_interval", "500",
+                          "--randomseed", str(args.seed)], log)
+                if rc != 0:
+                    print(f"[{name}] TRAIN FAILED rc={rc} — see {log}",
+                          flush=True)
+                    continue
+            rc = run([sys.executable, "-m",
+                      "relationalgraphlearning_tpu.cli.test",
+                      "--policy", policy, "--model_dir", outdir,
+                      "--phase", "test"] + test_args, log)
+            status = "ok" if rc == 0 else f"EVAL FAILED rc={rc}"
+            print(f"[{name}] {status} ({time.time() - t0:.0f}s)", flush=True)
+
+    # ------------------------------------------------------------- the table
+    rows = []
+    for name, policy, config, _ in runs:
+        path = os.path.join(HERE, args.data_dir, name, "eval_test.json")
+        if not os.path.exists(path):
+            rows.append((name, None))
+            continue
+        with open(path) as f:
+            rows.append((name, json.load(f)))
+
+    header = ("| Policy | Success | Collision | Timeout | Nav time | Return |\n"
+              "|---|---|---|---|---|---|")
+    lines = [header]
+    for name, r in rows:
+        if r is None:
+            lines.append(f"| {name} | — (missing) | | | | |")
+        else:
+            lines.append(
+                f"| {name} | {r['success_rate']:.3f} | "
+                f"{r['collision_rate']:.3f} | {r['timeout_rate']:.3f} | "
+                f"{r['nav_time']:.2f} s | {r['return']:.3f} |")
+    table = "\n".join(lines)
+    print(table, flush=True)
+    out = os.path.join(HERE, args.data_dir, "quality_table.md")
+    with open(out, "w") as f:
+        f.write(table + "\n")
+    with open(os.path.join(HERE, args.data_dir, "quality_table.json"), "w") as f:
+        json.dump({name: r for name, r in rows}, f, indent=1)
+    print(f"wrote {out}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,3 +17,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Suite wall-clock is dominated by XLA:CPU compiles of the jitted train/eval
+# programs. Persist them: the first run pays, every habitual re-run is fast.
+_CACHE = os.environ.get("RGL_TPU_TEST_CACHE", "/tmp/rgl_tpu_test_xla_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -62,12 +62,20 @@ def test_train_resume(tmp_path):
     """--resume restores the RL checkpoint and continues."""
     from relationalgraphlearning_tpu.training.train_loop import LoopOptions, train
 
-    cfg = Config(env=ENV, policy=PCFG, train=TrainConfig())
+    # beyond-debug-tiny schedule: resume mechanics only, not learning
+    tc = TrainConfig(il_episodes=6, il_epochs=1, rl_train_episodes=8,
+                     evaluation_interval=8, target_update_interval=8,
+                     checkpoint_interval=8, capacity=4000, train_batches=5,
+                     batch_size=32)
+    import dataclasses
+
+    env = dataclasses.replace(
+        ENV, sim=dataclasses.replace(ENV.sim, val_size=8))
+    cfg = Config(env=env, policy=PCFG, train=tc)
     out = str(tmp_path / "run")
-    r1 = train(cfg, "model_predictive_rl", out, debug=True, seed=0,
+    r1 = train(cfg, "model_predictive_rl", out, seed=0,
                opts=LoopOptions(train_envs=4, collect_steps=30, eval_envs=8))
-    r2 = train(cfg, "model_predictive_rl", out, debug=True, seed=0,
-               resume=True,
+    r2 = train(cfg, "model_predictive_rl", out, seed=0, resume=True,
                opts=LoopOptions(train_envs=4, collect_steps=30, eval_envs=8))
     assert np.isfinite(r2["success_rate"])
 

@@ -99,6 +99,10 @@ def test_parity_vs_sequential_oracle():
     numpy transcription of the published algorithm on random agent states."""
     from orca_oracle import orca_np
 
+    from relationalgraphlearning_tpu.envs.orca import orca_velocity
+
+    jitted = jax.jit(orca_velocity, static_argnames=())
+
     rng = np.random.RandomState(7)
     mismatches = 0
     for trial in range(60):
@@ -113,8 +117,7 @@ def test_parity_vs_sequential_oracle():
         rj = np.full(m, 0.3)
         expected = orca_np(pi, vi, ri, pref, vmax, pj, vj, rj,
                            PARAMS.time_horizon, PARAMS.time_step)
-        from relationalgraphlearning_tpu.envs.orca import orca_velocity
-        got = orca_velocity(
+        got = jitted(
             jnp.asarray(pi, jnp.float32), jnp.asarray(vi, jnp.float32),
             jnp.asarray(ri, jnp.float32), jnp.asarray(pref, jnp.float32),
             jnp.asarray(vmax, jnp.float32), jnp.asarray(pj, jnp.float32),

@@ -29,9 +29,11 @@ def _setup(n=256, k=8, seed=0):
 
 @pytest.mark.parametrize("method", ["ring", "allgather"])
 def test_partitioned_matches_single_device(method):
+    # data=4 keeps the unrolled ppermute ring short (XLA:CPU compile time);
+    # the 8-device ring is exercised by test_graft_entry_dryrun.
     cfg, model, params, states, cols = _setup()
     H_ref = model.apply(params, states, cols)
-    mesh = make_mesh(data=8, model=1)
+    mesh = make_mesh(data=4, model=1)
     H_par = partitioned_sparse_rgl(
         params, cfg, states, cols, mesh, method=method)
     np.testing.assert_allclose(
@@ -40,11 +42,12 @@ def test_partitioned_matches_single_device(method):
 
 @pytest.mark.parametrize("method", ["ring", "allgather"])
 def test_partitioned_with_mask(method):
-    cfg, model, params, states, cols = _setup()
+    # n=254 is NOT divisible by the 4-device axis → exercises row padding
+    cfg, model, params, states, cols = _setup(n=254)
     mask = jax.random.uniform(jax.random.PRNGKey(3), cols.shape) > 0.25
     mask = mask.at[:, 0].set(True)
     H_ref = model.apply(params, states, cols, mask)
-    mesh = make_mesh(data=8, model=1)
+    mesh = make_mesh(data=4, model=1)
     H_par = partitioned_sparse_rgl(
         params, cfg, states, cols, mesh, mask=mask, method=method)
     np.testing.assert_allclose(
