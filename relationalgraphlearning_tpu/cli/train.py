@@ -47,7 +47,15 @@ def main(argv=None):
                         "de-noises best-on-val checkpoint selection)")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of the run")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed from JAX_COORDINATOR/"
+                        "NPROC/PROC_ID before building the mesh")
     args = p.parse_args(argv)
+
+    if args.multihost:
+        from relationalgraphlearning_tpu.parallel import distributed
+
+        distributed.initialize()
 
     if args.platform:
         import jax

@@ -25,7 +25,8 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     n = len(devices)
     if data is None:
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} > {n} devices")
+    # explicit sizes may use a prefix of the available devices
+    arr = np.asarray(devices[:data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))

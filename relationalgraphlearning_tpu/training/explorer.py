@@ -261,6 +261,7 @@ class Explorer:
             next_robot=flat(traj.next_robot),
             next_humans=flat(traj.next_humans),
             valid=flat(valid),
+            terminal=flat(term),
         )
         return rb.push(buffer, batch)
 

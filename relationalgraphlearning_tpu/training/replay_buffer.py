@@ -25,11 +25,16 @@ from jax import Array
 class Transition(NamedTuple):
     robot: Array  # [..., 9]
     humans: Array  # [..., N, 5]
-    value: Array  # [...] — training target (MC return or TD target)
+    value: Array  # [...] — stored target (MC return for IL; TD for VNRL)
     reward: Array  # [...]
     next_robot: Array  # [..., 9]
     next_humans: Array  # [..., N, 5]
     valid: Array  # [...] float 0/1
+    terminal: Array  # [...] float 0/1 — episode ended at this transition
+    # (MPRLTrainer recomputes its TD target from the CURRENT target net:
+    # r + γ̄·(1−terminal)·V_target(ś) — the reason the reference memory
+    # stores next_state; stored `value` would go stale as the target net
+    # refreshes)
 
 
 class ReplayBuffer(NamedTuple):
@@ -51,6 +56,7 @@ def create(capacity: int, human_num: int) -> ReplayBuffer:
         next_robot=jnp.zeros((capacity, 9)),
         next_humans=jnp.zeros((capacity, human_num, 5)),
         valid=jnp.zeros((capacity,)),
+        terminal=jnp.zeros((capacity,)),
     )
     return ReplayBuffer(data, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
 

@@ -65,6 +65,10 @@ class MPRLTrainer:
         self.freeze_sp = freeze_state_predictor
         self.detach_sp = detach_state_predictor
         self.sp_update_stride = sp_update_stride
+        # MPRL recomputes RL TD targets per minibatch (reference stores
+        # next_state for exactly this); VNRL fits targets stored at
+        # collection time (reference memory stores (state, value) only).
+        self.rl_recomputes_td = True
 
     def init(self, params: Any) -> TrainState:
         return TrainState(params, params, self.tx.init(params))
@@ -75,11 +79,28 @@ class MPRLTrainer:
         self.tx = make_optimizer(optimizer, learning_rate)
 
     # ------------------------------------------------------------------ loss
-    def loss_fn(self, params: Any, batch: rb.Transition, update_sp: Array):
+    def _td_target(self, target_params: Any, batch: rb.Transition) -> Array:
+        """Fresh 1-step TD target from the CURRENT target network (parity:
+        MPRLTrainer.optimize_batch computes target_values = r + γ̄·V_target(ś)
+        per minibatch — the reason ReplayMemory stores next_state). Stored
+        targets would go stale between target-net refreshes."""
+        from relationalgraphlearning_tpu import types as T
+
+        gamma_bar = self.policy.gamma ** (
+            self.policy.env_cfg.time_step * batch.robot[..., T.VPREF])
+        v_next = self.policy.value(
+            target_params, batch.next_robot, batch.next_humans)
+        return batch.reward + gamma_bar * (1.0 - batch.terminal) * \
+            jax.lax.stop_gradient(v_next)
+
+    def loss_fn(self, params: Any, batch: rb.Transition, update_sp: Array,
+                target_params: Any = None, use_td: bool = False):
         w = batch.valid
         denom = jnp.maximum(jnp.sum(w), 1.0)
         v = self.policy.value(params, batch.robot, batch.humans)
-        value_loss = jnp.sum(w * (v - batch.value) ** 2) / denom
+        target = (self._td_target(target_params, batch) if use_td
+                  else batch.value)
+        value_loss = jnp.sum(w * (v - target) ** 2) / denom
 
         if self.policy.cfg.mprl.linear_state_predictor or self.freeze_sp:
             predictor_loss = jnp.asarray(0.0)
@@ -108,9 +129,11 @@ class MPRLTrainer:
 
     # ------------------------------------------------------------------ step
     def train_step(self, state: TrainState, batch: rb.Transition,
-                   update_sp: Array) -> tuple[TrainState, LossAux]:
+                   update_sp: Array, use_td: bool = False
+                   ) -> tuple[TrainState, LossAux]:
         grads, aux = jax.grad(self.loss_fn, has_aux=True)(
-            state.params, batch, update_sp)
+            state.params, batch, update_sp,
+            target_params=state.target_params, use_td=use_td)
         updates, opt_state = self.tx.update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -120,7 +143,8 @@ class MPRLTrainer:
                          key: Array, num_batches: int, batch_size: int
                          ) -> tuple[TrainState, LossAux]:
         """RL: ``num_batches`` sampled minibatch steps as one lax.scan
-        (parity: ``optimize_batch``). State-predictor updates run every
+        (parity: ``optimize_batch`` — fresh TD targets from the target net
+        each minibatch). State-predictor updates run every
         ``sp_update_stride`` batches (parity: reduce_sp_update_frequency)."""
 
         def body(carry, i):
@@ -128,7 +152,8 @@ class MPRLTrainer:
             key, sub = jax.random.split(key)
             batch = rb.sample(buffer, sub, batch_size)
             update_sp = (i % self.sp_update_stride == 0).astype(jnp.float32)
-            state, aux = self.train_step(state, batch, update_sp)
+            state, aux = self.train_step(state, batch, update_sp,
+                                         use_td=self.rl_recomputes_td)
             return (state, key), aux
 
         (state, _), aux = jax.lax.scan(
@@ -141,10 +166,16 @@ class MPRLTrainer:
 
 
 class VNRLTrainer(MPRLTrainer):
-    """Value-only trainer for the one-step baselines (parity: VNRLTrainer)."""
+    """Value-only trainer for the one-step baselines (parity: VNRLTrainer —
+    fits the targets stored at collection time)."""
 
-    def loss_fn(self, params: Any, batch: rb.Transition, update_sp: Array):
-        del update_sp
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.rl_recomputes_td = False
+
+    def loss_fn(self, params: Any, batch: rb.Transition, update_sp: Array,
+                target_params: Any = None, use_td: bool = False):
+        del update_sp, target_params, use_td
         w = batch.valid
         denom = jnp.maximum(jnp.sum(w), 1.0)
         v = self.policy.value(params, batch.robot, batch.humans)

@@ -86,7 +86,8 @@ def test_sharded_train_step():
         reward=jnp.zeros((K,)),
         next_robot=jax.random.normal(ks[3], (K, 9)),
         next_humans=jax.random.normal(ks[4], (K, 5, 5)),
-        valid=jnp.ones((K,)))
+        valid=jnp.ones((K,)),
+        terminal=jnp.zeros((K,)))
     batch = shard_batch(batch, mesh)
 
     with mesh:
@@ -108,3 +109,14 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out[0].shape == (256,)
     ge.dryrun_multichip(8)
+
+
+def test_distributed_single_process_fallback(caplog):
+    """Multi-host entry point: no coordinator configured → no-op fallback,
+    process 0 is primary, and the module leaves jax fully usable."""
+    from relationalgraphlearning_tpu.parallel import distributed
+
+    assert distributed.initialize() is False
+    assert distributed.initialize(num_processes=1) is False
+    assert distributed.is_primary()
+    assert len(jax.devices()) >= 1

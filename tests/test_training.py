@@ -39,6 +39,7 @@ def _mk_batch(k, key=0):
         next_robot=jax.random.normal(ks[4], (k, 9)),
         next_humans=jax.random.normal(ks[5], (k, N, 5)),
         valid=jnp.ones((k,)),
+        terminal=jnp.zeros((k,)),
     )
 
 
@@ -190,6 +191,32 @@ class TestTrainers:
             lambda a, b: float(jnp.max(jnp.abs(a - b))),
             state.params, state2.params)
         assert max(jax.tree.leaves(diff)) > 0
+
+    def test_mprl_fresh_td_targets(self):
+        """RL TD targets come from the CURRENT target net, not the stored
+        value field (parity: optimize_batch recomputes r + γ̄·V_target(ś))."""
+        pol = make_policy("model_predictive_rl", PCFG, ENV)
+        tparams = pol.init_params(jax.random.PRNGKey(9))
+        trainer = MPRLTrainer(pol)
+        batch = _mk_batch(16)._replace(
+            value=jnp.full((16,), 1e6))  # garbage stored targets
+        batch = batch._replace(robot=batch.robot.at[:, 7].set(1.0))
+        target = trainer._td_target(tparams, batch)
+        gb = PCFG.gamma ** (ENV.time_step * 1.0)
+        v_next = pol.value(tparams, batch.next_robot, batch.next_humans)
+        np.testing.assert_allclose(
+            np.asarray(target), np.asarray(batch.reward + gb * v_next),
+            rtol=1e-5)
+        # terminal transitions do not bootstrap
+        target_t = trainer._td_target(
+            tparams, batch._replace(terminal=jnp.ones((16,))))
+        np.testing.assert_allclose(
+            np.asarray(target_t), np.asarray(batch.reward), rtol=1e-5)
+        # the garbage stored values must not reach the loss when use_td=True
+        params = pol.init_params(jax.random.PRNGKey(0))
+        loss, _ = trainer.loss_fn(params, batch, jnp.asarray(0.0),
+                                  target_params=tparams, use_td=True)
+        assert float(loss) < 1e4
 
     def test_target_update(self):
         pol = make_policy("model_predictive_rl", PCFG, ENV)
