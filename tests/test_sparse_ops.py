@@ -161,3 +161,28 @@ def test_sparse_rgl_grad_flows():
     g = jax.grad(loss)(params)
     gmax = max(float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(g))
     assert gmax > 0
+
+
+def test_knn_grid_matches_dense():
+    """Spatial-hash kNN equals the O(n²) construction when the cell ring
+    covers the true neighborhoods and no cell overflows."""
+    import numpy as np
+    from relationalgraphlearning_tpu.ops.sparse import knn_graph, knn_graph_grid
+
+    key = jax.random.PRNGKey(0)
+    n, k = 1500, 8
+    pos = jax.random.uniform(key, (n, 2)) * 100.0  # density 0.15/unit²
+    dense = np.asarray(knn_graph(pos, k))
+    grid = np.asarray(knn_graph_grid(pos, k, cell_size=5.0, max_per_cell=32))
+    # same neighbor SETS per row (ordering may differ on distance ties)
+    for i in range(0, n, 37):
+        assert set(dense[i]) == set(grid[i]), i
+
+
+def test_knn_grid_jits_at_scale():
+    from relationalgraphlearning_tpu.ops.sparse import knn_graph_grid
+
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (20_000, 2)) * 400.0
+    cols = jax.jit(lambda p: knn_graph_grid(p, 10, 5.0))(pos)
+    assert cols.shape == (20_000, 10)
+    assert bool((cols >= 0).all()) and bool((cols < 20_000).all())
