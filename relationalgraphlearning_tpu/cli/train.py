@@ -50,6 +50,11 @@ def main(argv=None):
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed from JAX_COORDINATOR/"
                         "NPROC/PROC_ID before building the mesh")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="data-parallel mesh axis size (0 = no mesh; env "
+                        "batch + minibatches shard, gradients all-reduce)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel mesh axis size")
     args = p.parse_args(argv)
 
     if args.multihost:
@@ -111,6 +116,13 @@ def main(argv=None):
     logging.info("policy: %s | config: %s | seed: %d",
                  args.policy, args.config or "<default>", args.randomseed)
 
+    mesh = None
+    if args.mesh_data:
+        from relationalgraphlearning_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+        logging.info("mesh: %s", dict(mesh.shape))
+
     from relationalgraphlearning_tpu.utils import profiling
 
     with profiling.trace(args.profile_dir):
@@ -118,7 +130,8 @@ def main(argv=None):
             config, args.policy, args.output_dir,
             debug=args.debug, resume=args.resume, seed=args.randomseed,
             opts=LoopOptions(train_envs=args.train_envs,
-                             collect_steps=args.collect_steps))
+                             collect_steps=args.collect_steps,
+                             mesh=mesh))
     logging.info("done: %s", result)
     return result
 

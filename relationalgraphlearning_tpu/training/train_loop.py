@@ -58,6 +58,11 @@ class LoopOptions:
     train_envs: int = 16  # parallel envs during collection
     collect_steps: int = 64  # env-steps per iteration per env
     eval_envs: int = 100
+    # Optional jax.sharding.Mesh ("data", "model"): env batch + replay
+    # minibatches shard over `data` (XLA inserts the gradient all-reduce),
+    # Dense kernels TP over `model` (parallel/sharding.py rules). None =
+    # single-device. Multi-host: parallel/distributed.initialize() first.
+    mesh: Any = None
 
 
 class TrainerArtifacts(NamedTuple):
@@ -122,13 +127,28 @@ def train(config: Config, policy_name: str, output_dir: str,
 
     # ------------------------------------------------------------ jitted ops
     B = opts.train_envs
+    mesh = opts.mesh
+    if mesh is not None and B % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"train_envs={B} not divisible by data axis {mesh.shape['data']}")
+
+    def _dp(tree):
+        """Shard leading axes over the mesh's data axis (no-op without)."""
+        if mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("data") if x.ndim >= 1 else P())),
+            tree)
 
     @partial(jax.jit, static_argnames=("imitation", "phase_offset"))
     def collect_and_update(params, target_params, carry, buffer, epsilon,
                            imitation: bool, phase_offset: int):
         expl = art.demonstrator_explorer if imitation else explorer
         carry, traj = expl.collect(
-            params if not imitation else None, carry,
+            params if not imitation else None, _dp(carry),
             opts.collect_steps, epsilon, phase_offset)
         buffer = expl.update_memory(
             buffer, traj, policy.value, target_params, imitation)
@@ -145,9 +165,17 @@ def train(config: Config, policy_name: str, output_dir: str,
         return explorer.run_cases(
             params, sim.val_seed_offset, case_indices, key)
 
+    def _shard_state(state: TrainState) -> TrainState:
+        if mesh is None:
+            return state
+        from relationalgraphlearning_tpu.parallel.sharding import (
+            shard_train_state)
+
+        return shard_train_state(state, mesh)
+
     # ---------------------------------------------------------- phase 1: IL
     trainer.set_learning_rate(tc.il_learning_rate, tc.il_optimizer)
-    state = trainer.init(params)
+    state = _shard_state(trainer.init(params))
 
     il_ckpt = os.path.join(output_dir, "il_model")
     rl_ckpt = os.path.join(output_dir, "rl_model")
@@ -213,8 +241,8 @@ def train(config: Config, policy_name: str, output_dir: str,
     # ---------------------------------------------------------- phase 2: RL
     if not resumed_rl:
         trainer.set_learning_rate(tc.rl_learning_rate, tc.optimizer)
-        state = TrainState(state.params, state.target_params,
-                           trainer.tx.init(state.params))
+        state = _shard_state(TrainState(state.params, state.target_params,
+                                        trainer.tx.init(state.params)))
 
     key, k_carry = jax.random.split(key)
     carry = explorer.init_carry(B, sim.train_seed_offset, k_carry)
