@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--policy", default="model_predictive_rl")
     p.add_argument("--model_dir", required=True)
     p.add_argument("--il", action="store_true", help="evaluate the IL snapshot")
+    p.add_argument("--checkpoint", default=None,
+                   choices=[None, "il", "best", "final"],
+                   help="which snapshot to evaluate (default: best if "
+                        "present, else final rl_model)")
     p.add_argument("--phase", default="test", choices=["val", "test"])
     p.add_argument("--test_size", type=int, default=None)
     p.add_argument("--human_num", type=int, default=None)
@@ -94,9 +98,12 @@ def main(argv=None):
     art = build(config, args.policy, policy_kwargs=policy_kwargs)
     params = art.policy.init_params(jax.random.PRNGKey(0))
     state = art.trainer.init(params)
-    if args.il:
+    if args.il or args.checkpoint == "il":
         name = "il_model"
-    elif ckpt.exists(os.path.join(args.model_dir, "rl_model_best")):
+    elif args.checkpoint == "final":
+        name = "rl_model"
+    elif args.checkpoint == "best" or ckpt.exists(
+            os.path.join(args.model_dir, "rl_model_best")):
         name = "rl_model_best"  # best-on-val snapshot when available
     else:
         name = "rl_model"
@@ -160,6 +167,8 @@ def main(argv=None):
         suffix += f"_w{args.planning_width}"
     if args.sparse_search:
         suffix += "_sparse"
+    if args.checkpoint:
+        suffix += f"_{args.checkpoint}"
     out_json = os.path.join(
         args.model_dir, f"eval_{args.phase}{suffix}.json")
     with open(out_json, "w") as f:

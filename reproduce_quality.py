@@ -78,6 +78,7 @@ def main() -> int:
                           "--policy", policy, "--config", config,
                           "--output_dir", outdir, "--overwrite",
                           "--evaluation_interval", "500",
+                          "--val_size", "200",
                           "--randomseed", str(args.seed)], log)
                 if rc != 0:
                     print(f"[{name}] TRAIN FAILED rc={rc} — see {log}",
