@@ -33,8 +33,8 @@ def test_load_config_module(tmp_path):
 
 
 def test_example_configs_load():
-    for name in ["mp_separate", "mp_shared", "mp_linear", "mp_deep", "rgl",
-                 "sarl", "cadrl", "lstm_rl"]:
+    for name in ["mp_separate", "mp_shared", "mp_linear", "mp_deep",
+                 "mp_unicycle", "rgl", "sarl", "sarl_om", "cadrl", "lstm_rl"]:
         cfg = load_config_module(f"configs/icra_benchmark/{name}.py")
         assert isinstance(cfg, Config)
 
