@@ -64,41 +64,53 @@ def planning_throughput(batch=64, steps=32):
 
 def edges_throughput(n=8192, K=16, d=64, inner=100):
     """``inner`` chained applications inside ONE jitted scan so device time,
-    not per-dispatch tunnel latency, is measured."""
+    not per-dispatch tunnel latency, is measured.
+
+    The WHOLE chain is loop-carried (q = x = v = previous iteration's
+    output, as stacked SparseRGL layers see it), so XLA's while-loop
+    invariant code motion cannot hoist the SDDMM/softmax out of the loop and
+    time only the SpMM — that hoisting inflated the r2 number (ADVICE.md).
+    """
     from relationalgraphlearning_tpu.ops import sparse
 
-    ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    q = jax.random.normal(ks[0], (n, d))
-    x = jax.random.normal(ks[1], (n, d))
-    v = jax.random.normal(ks[2], (n, d))
-    cols = sparse.knn_graph(jax.random.uniform(ks[3], (n, 2)) * 100, K)
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    h0 = jax.random.normal(ks[0], (n, d))
+    cols = sparse.knn_graph(jax.random.uniform(ks[1], (n, 2)) * 100, K)
     mask = jnp.ones((n, K), bool)
 
     @jax.jit
-    def f(q, x, v, cols, mask):
-        def body(v, _):
-            s = sparse.sddmm_fixed_k(q, x, cols, mask)
+    def f(h, cols, mask):
+        def body(h, _):
+            s = sparse.sddmm_fixed_k(h, h, cols, mask)
             a = sparse.neighbor_softmax(s, mask)
-            return sparse.spmm_fixed_k(a, v, cols), None
+            h = sparse.spmm_fixed_k(a, h, cols)
+            # row-normalize: keeps the carried features bounded over
+            # ``inner`` iterations (cost ~1/K of the chain — negligible)
+            return h / jnp.maximum(
+                jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-6), None
 
-        v, _ = jax.lax.scan(body, v, None, inner)
-        return v
+        h, _ = jax.lax.scan(body, h, None, inner)
+        return h
 
-    dt = _timeit(f, q, x, v, cols, mask, reps=3)
+    dt = _timeit(f, h0, cols, mask, reps=3)
     return n * K * inner / dt
 
 
-def mega_crowd(n=10240, K=10, steps=16):
-    """BASELINE config #5 scale: 10k-agent synthetic crowd — kNN ORCA step
-    + SparseRGL decentralized value inference, one jitted program."""
+def mega_crowd(n=10240, K=10, steps=16, side=None):
+    """BASELINE config #5 scale: 10k+-agent synthetic crowd — kNN ORCA step
+    + SparseRGL decentralized value inference, one jitted program. Graph
+    construction goes through ``knn_graph_auto``: at these sizes the
+    spatial-hash grid path replaces the O(n²) distance matrix (the wall at
+    n=10⁵)."""
     from relationalgraphlearning_tpu.configs.base import GCNConfig
     from relationalgraphlearning_tpu.envs.orca import (
         ORCAParams, centralized_orca_step_knn)
     from relationalgraphlearning_tpu.models.sparse_rgl import SparseValueNet
-    from relationalgraphlearning_tpu.ops.sparse import knn_graph
+    from relationalgraphlearning_tpu.ops.sparse import knn_graph_auto
 
+    side = side or 200.0 * (n / 10240.0) ** 0.5  # keep crowd density constant
     rng = jax.random.PRNGKey(0)
-    pos = jax.random.uniform(rng, (n, 2), minval=-200, maxval=200)
+    pos = jax.random.uniform(rng, (n, 2), minval=-side, maxval=side)
     goals = -pos
     rad = jnp.full((n,), 0.3)
     vmax = jnp.ones((n,))
@@ -107,7 +119,7 @@ def mega_crowd(n=10240, K=10, steps=16):
 
     net = SparseValueNet(GCNConfig(), value_dims=(32, 100, 100, 1))
     states0 = jnp.zeros((n, 5))
-    cols0 = knn_graph(pos, 16)
+    cols0 = knn_graph_auto(pos, 16)
     net_params = net.init(jax.random.PRNGKey(1), states0, cols0)
 
     @jax.jit
@@ -121,7 +133,7 @@ def mega_crowd(n=10240, K=10, steps=16):
                 pos, vel, rad, pref, vmax, act, params_orca, K)
             new_pos = pos + new_v * 0.25
             states = jnp.concatenate([new_pos, new_v, rad[:, None]], -1)
-            cols = knn_graph(new_pos, 16)
+            cols = knn_graph_auto(new_pos, 16)
             vals = net.apply(net_params, states, cols)
             return (new_pos, new_v), jnp.mean(vals)
         (pos, vel), vals = jax.lax.scan(body, (pos, vel), None, steps)
@@ -148,6 +160,9 @@ def main():
     m = mega_crowd()
     print(json.dumps({"metric": "10k-agent crowd (kNN ORCA + SparseRGL values)",
                       "value": round(m, 1), "unit": "agent-steps/s"}))
+    m100k = mega_crowd(n=102_400)
+    print(json.dumps({"metric": "100k-agent crowd (grid kNN + ORCA + SparseRGL)",
+                      "value": round(m100k, 1), "unit": "agent-steps/s"}))
 
 
 if __name__ == "__main__":

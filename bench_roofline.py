@@ -91,31 +91,34 @@ def hbm_bw(mb=512, inner=8):
 
 def graph_chain(n=8192, K=16, d=64, inner=100, dtype=jnp.float32,
                 use_pallas=False):
+    """Loop-carried chain (q = x = v = previous output, like stacked
+    SparseRGL layers) so while-loop invariant code motion cannot hoist the
+    SDDMM/softmax and time only the SpMM (the r2 inflation, ADVICE.md)."""
     from relationalgraphlearning_tpu.ops import sparse
     from relationalgraphlearning_tpu.ops import pallas_graph
 
-    ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    q = jax.random.normal(ks[0], (n, d), dtype)
-    x = jax.random.normal(ks[1], (n, d), dtype)
-    v = jax.random.normal(ks[2], (n, d), dtype)
-    cols = sparse.knn_graph(jax.random.uniform(ks[3], (n, 2)) * 100, K)
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    h0 = jax.random.normal(ks[0], (n, d), dtype)
+    cols = sparse.knn_graph(jax.random.uniform(ks[1], (n, 2)) * 100, K)
     mask = jnp.ones((n, K), bool)
 
     @jax.jit
-    def f(q, x, v, cols, mask):
-        def body(v, _):
+    def f(h, cols, mask):
+        def body(h, _):
             if use_pallas:
-                out = pallas_graph.fused_neighbor_attention(q, x, v, cols, mask)
+                out = pallas_graph.fused_neighbor_attention(h, h, h, cols, mask)
             else:
-                s = sparse.sddmm_fixed_k(q, x, cols, mask)
+                s = sparse.sddmm_fixed_k(h, h, cols, mask)
                 a = sparse.neighbor_softmax(s, mask)
-                out = sparse.spmm_fixed_k(a, v, cols)
+                out = sparse.spmm_fixed_k(a, h, cols)
+            out = out / jnp.maximum(
+                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6)
             return out.astype(dtype), None
 
-        v, _ = jax.lax.scan(body, v, None, inner)
-        return v
+        h, _ = jax.lax.scan(body, h, None, inner)
+        return h
 
-    dt = _med_time(f, q, x, v, cols, mask, reps=3)
+    dt = _med_time(f, h0, cols, mask, reps=3)
     edges = n * K * inner
     return edges / dt
 

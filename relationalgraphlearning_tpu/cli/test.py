@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--safety_space", type=float, default=None,
                    help="ORCA robot-policy safety space override (parity: "
                         "test.py --safety_space; only for --policy orca)")
+    p.add_argument("--orca_time_horizon", type=float, default=None,
+                   help="ORCA ROBOT-policy time horizon override (baseline "
+                        "sweep; humans keep the env's horizon)")
     # test-time planner overrides (the value/dynamics nets are depth/width
     # agnostic, so the planning tree can be re-shaped at evaluation — parity
     # with the reference's planning_depth/planning_width test sweeps)
@@ -95,6 +98,10 @@ def main(argv=None):
         if args.policy != "orca":
             p.error("--safety_space only applies to --policy orca")
         policy_kwargs["safety_space"] = args.safety_space
+    if args.orca_time_horizon is not None:
+        if args.policy != "orca":
+            p.error("--orca_time_horizon only applies to --policy orca")
+        policy_kwargs["time_horizon"] = args.orca_time_horizon
     art = build(config, args.policy, policy_kwargs=policy_kwargs)
     params = art.policy.init_params(jax.random.PRNGKey(0))
     state = art.trainer.init(params)
@@ -108,10 +115,15 @@ def main(argv=None):
     else:
         name = "rl_model"
     path = os.path.join(args.model_dir, name)
+    trainable = getattr(art.policy, "trainable", False)
     if ckpt.exists(path):
         state = ckpt.restore(path, state)
+        checkpoint_loaded = name
         logging.info("loaded %s", path)
+    elif not trainable:
+        checkpoint_loaded = "none (untrained policy)"
     else:
+        checkpoint_loaded = "none (RANDOM INIT — no checkpoint found)"
         logging.warning("no checkpoint at %s — evaluating random init", path)
 
     sim = config.env.sim
@@ -147,9 +159,23 @@ def main(argv=None):
     # machine-readable record for reproduce_quality.py and audits
     import json
 
+    def _git_sha():
+        import subprocess
+
+        try:
+            return subprocess.check_output(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                stderr=subprocess.DEVNULL).decode().strip()
+        except Exception:
+            return None
+
     record = {
         "policy": args.policy, "phase": args.phase, "cases": size,
-        "checkpoint": name,
+        "checkpoint": checkpoint_loaded,
+        "human_num": sim.human_num,
+        "robot_kinematics": config.env.robot_kinematics,
+        "git_sha": _git_sha(),
         "success_rate": float(ev.success_rate),
         "collision_rate": float(ev.collision_rate),
         "timeout_rate": float(ev.timeout_rate),
@@ -160,6 +186,10 @@ def main(argv=None):
     }
     if mprl_over:
         record["planner_overrides"] = mprl_over
+    if args.safety_space is not None:
+        record["safety_space"] = args.safety_space
+    if args.orca_time_horizon is not None:
+        record["orca_time_horizon"] = args.orca_time_horizon
     suffix = ""
     if args.planning_depth is not None:
         suffix += f"_d{args.planning_depth}"
@@ -169,6 +199,10 @@ def main(argv=None):
         suffix += "_sparse"
     if args.checkpoint:
         suffix += f"_{args.checkpoint}"
+    if args.safety_space is not None:
+        suffix += f"_ss{args.safety_space:g}"
+    if args.orca_time_horizon is not None:
+        suffix += f"_th{args.orca_time_horizon:g}"
     out_json = os.path.join(
         args.model_dir, f"eval_{args.phase}{suffix}.json")
     with open(out_json, "w") as f:

@@ -149,25 +149,32 @@ class CrowdSim:
         return new_v[:n]
 
     # ------------------------------------------------------------------- step
-    def step(self, state: EnvState, action: Array) -> StepOutput:
+    def step(self, state: EnvState, action: Array,
+             kinematics: str | None = None) -> StepOutput:
         """Advance one time step under the robot ``action``.
 
         Done envs freeze: zero reward, unchanged state (masked-scan no-op).
+
+        ``kinematics`` (static) overrides the configured robot kinematics —
+        the action convention follows the ACTING policy, mirroring the
+        reference where the ActionXY/ActionRot *type* disambiguates (a
+        holonomic ORCA demonstrator inside a unicycle-configured env steps
+        holonomically, exactly as ``Agent.step(ActionXY)`` would).
         """
         cfg = self.cfg
+        kinematics = kinematics or cfg.robot_kinematics
         dt = cfg.time_step
         human_v = self.human_velocities(state)
 
         t_next = (state.step.astype(jnp.float32) + 1.0) * dt
         r = compute_reward(
             state.robot, T.observable(state.humans), human_v, action,
-            t_next, cfg)
+            t_next, cfg, kinematics=kinematics)
 
         # integrate
         from relationalgraphlearning_tpu.geometry import propagate_full_state
 
-        next_robot = propagate_full_state(
-            state.robot, action, dt, cfg.robot_kinematics)
+        next_robot = propagate_full_state(state.robot, action, dt, kinematics)
         next_pos = T.position(state.humans) + human_v * dt
         next_humans = state.humans \
             .at[..., T.PX:T.PY + 1].set(next_pos) \

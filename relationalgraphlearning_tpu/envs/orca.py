@@ -286,9 +286,10 @@ def centralized_orca_step_knn(
     the all-pairs ``centralized_orca_step`` is exact for small crowds but
     O(n²) lines; this is O(n·K), making 10k+-agent synthetic crowds
     steppable on device)."""
-    from relationalgraphlearning_tpu.ops.sparse import knn_graph
+    from relationalgraphlearning_tpu.ops.sparse import knn_graph_auto
 
-    cols = knn_graph(positions, max_neighbors, valid=active)  # [n, K]
+    # exact O(n²) kNN for small crowds, spatial-hash grid above ~10k agents
+    cols = knn_graph_auto(positions, max_neighbors, valid=active)  # [n, K]
 
     def one_agent(i):
         idx = cols[i]

@@ -37,6 +37,7 @@ def compute_reward(
     action: Array,  # [..., 2] robot action
     t_next: Array,  # [...] episode time after this step
     cfg: EnvConfig,
+    kinematics: str | None = None,
 ) -> RewardOutput:
     """Reward for taking ``action`` from the given state.
 
@@ -45,11 +46,16 @@ def compute_reward(
     stationary in relative frame) and each human's relative motion segment
     over the step — exactly the reference's per-human
     ``point_to_segment_dist`` check, vectorized.
+
+    ``kinematics`` overrides the env default — the action convention follows
+    the ACTING policy, like the reference's ActionXY/ActionRot types do
+    (e.g. the holonomic ORCA demonstrator inside a unicycle-configured env).
     """
     dt = cfg.time_step
     rc = cfg.reward
 
-    next_robot = propagate_full_state(robot, action, dt, cfg.robot_kinematics)
+    next_robot = propagate_full_state(
+        robot, action, dt, kinematics or cfg.robot_kinematics)
     robot_vel = (T.position(next_robot) - T.position(robot)) / dt
 
     rel_p0 = T.position(humans_obs) - T.position(robot)[..., None, :]

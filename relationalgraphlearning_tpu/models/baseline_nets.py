@@ -28,16 +28,25 @@ from relationalgraphlearning_tpu.policies.state_transform import ROTATED_ROBOT_D
 
 
 class CADRLNet(nn.Module):
-    """V(rotated_row) for a single human (reference cadrl ValueNetwork)."""
+    """V(rotated_row) per human, reduced by min (reference cadrl).
+
+    Trained single-human (``multiagent_training=False``); on multi-human
+    states the reference's ``CADRL.predict`` evaluates the pairwise net once
+    per human and takes ``torch.min(outputs, 0)`` — the worst-case pairwise
+    value — which is how its Table-I row is produced on the 5-human test
+    protocol (SURVEY.md §2.2, §3.5). Reproduced here: rows [..., N, D] →
+    per-row values → min over N (identity at N=1, so training is unchanged).
+    """
 
     mlp_dims: Sequence[int] = (150, 100, 100, 1)
 
     @nn.compact
     def __call__(self, rows: Array) -> Array:
-        """rows [..., 1, D] (single human) or [..., D] → value [...]."""
-        if rows.ndim >= 2 and rows.shape[-2] == 1:
-            rows = rows[..., 0, :]
-        return MLP(self.mlp_dims, name="value_network")(rows)[..., 0]
+        """rows [..., N, D] → value [...] (min over humans), or [..., D]."""
+        vals = MLP(self.mlp_dims, name="value_network")(rows)[..., 0]
+        if rows.ndim >= 2:
+            vals = jnp.min(vals, axis=-1)
+        return vals
 
 
 class SARLNet(nn.Module):

@@ -57,7 +57,8 @@ def knn_graph(positions: Array, k: int, valid: Optional[Array] = None,
 
 def knn_graph_grid(positions: Array, k: int, cell_size: float,
                    max_per_cell: int = 16,
-                   include_self: bool = False) -> Array:
+                   include_self: bool = False,
+                   valid: Optional[Array] = None) -> Array:
     """Spatial-hash k-NN: positions [n, 2] → cols [n, k], O(n·9C) instead of
     the O(n²) distance matrix — the scalable construction for n ≫ 10⁴.
 
@@ -96,12 +97,41 @@ def knn_graph_grid(positions: Array, k: int, cell_size: float,
     d2 = jnp.sum(
         (positions[:, None, None, :] - positions[cand]) ** 2, axis=-1)
     d2 = jnp.where(cand_ok, d2, jnp.inf)
+    if valid is not None:
+        d2 = jnp.where(valid[cand], d2, jnp.inf)
     if not include_self:
         me = jnp.arange(n)[:, None, None]
         d2 = jnp.where(cand == me, jnp.inf, d2)
     d2f = d2.reshape(n, 9 * C)
     _, flat_idx = jax.lax.top_k(-d2f, k)  # [n, k]
     return jnp.take_along_axis(cand.reshape(n, 9 * C), flat_idx, axis=-1)
+
+
+def knn_graph_auto(positions: Array, k: int, valid: Optional[Array] = None,
+                   include_self: bool = False,
+                   grid_threshold: int = 10_000,
+                   max_per_cell: int = 32,
+                   cell_size: Optional[Array] = None) -> Array:
+    """Size-dispatching k-NN construction: exact O(n²) ``knn_graph`` below
+    ``grid_threshold`` nodes, spatial-hash ``knn_graph_grid`` above it (the
+    O(n²) distance matrix is the wall at 10⁵-agent crowds — SURVEY.md §5
+    long-context row). This is the construction the large-crowd paths
+    (``centralized_orca_step_knn``, SparseRGL benches) call.
+
+    ``cell_size`` defaults to a density heuristic targeting ~``max_per_cell``
+    /2 nodes per cell, which puts the 3×3 candidate ring well beyond the
+    k-th-neighbor distance for near-uniform crowds (≈1.8× at k=16, C=32) —
+    the regime where the grid graph equals the exact graph.
+    """
+    n = positions.shape[0]
+    if n < grid_threshold:
+        return knn_graph(positions, k, valid=valid, include_self=include_self)
+    if cell_size is None:
+        span = jnp.max(positions, axis=0) - jnp.min(positions, axis=0)
+        area = jnp.maximum(span[0] * span[1], 1e-6)
+        cell_size = jnp.sqrt(area * max_per_cell / (2.0 * n))
+    return knn_graph_grid(positions, k, cell_size, max_per_cell,
+                          include_self=include_self, valid=valid)
 
 
 # ------------------------------------------------------------ fixed-degree ops

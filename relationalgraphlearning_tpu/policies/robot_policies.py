@@ -47,10 +47,12 @@ class ORCARobotPolicy(BasePolicy):
     """
 
     def __init__(self, policy_cfg: PolicyConfig, env_cfg: EnvConfig,
-                 safety_space: float = 0.0):
+                 safety_space: float = 0.0,
+                 time_horizon: float | None = None):
         self.params_ = ORCAParams(
             neighbor_dist=env_cfg.orca_neighbor_dist,
-            time_horizon=env_cfg.orca_time_horizon,
+            time_horizon=(time_horizon if time_horizon is not None
+                          else env_cfg.orca_time_horizon),
             time_step=env_cfg.time_step,
             safety_space=safety_space)
 

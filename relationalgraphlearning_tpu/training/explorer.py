@@ -77,6 +77,17 @@ class Explorer:
         self.gamma = gamma
         self.base_seed = base_seed
         self.cfg: EnvConfig = env.cfg
+        # The env honors the ACTING policy's action convention (parity: the
+        # reference's ActionXY/ActionRot types). A holonomic demonstrator
+        # (ORCA) rolling inside a unicycle-configured env must be stepped
+        # holonomically — trainable policies set kinematics = env default.
+        self.kinematics: str = getattr(
+            policy, "kinematics", None) or env.cfg.robot_kinematics
+
+    def _step(self, states: EnvState, actions: Array):
+        return jax.vmap(
+            lambda s, a: self.env.step(s, a, kinematics=self.kinematics)
+        )(states, actions)
 
     def _gamma_bar(self, robot: Array) -> Array:
         return self.gamma ** (self.cfg.time_step * robot[..., T.VPREF])
@@ -111,7 +122,7 @@ class Explorer:
             states, key, ep_ret, danger_steps, danger_dmin, total_steps = carry
             key, sub = jax.random.split(key)
             actions = self._act(params, states, sub, eps)
-            out = jax.vmap(env.step)(states, actions)
+            out = self._step(states, actions)
             live = ~states.done
             gamma_t = self.gamma ** (
                 states.step.astype(jnp.float32) * self.cfg.time_step
@@ -177,7 +188,7 @@ class Explorer:
             key, sub = jax.random.split(c.key)
             states = c.env_states
             actions = self._act(params, states, sub, eps)
-            out = jax.vmap(env.step)(states, actions)
+            out = self._step(states, actions)
 
             gamma_t = self.gamma ** (
                 c.ep_step.astype(jnp.float32) * self.cfg.time_step

@@ -195,14 +195,28 @@ def train(config: Config, policy_name: str, output_dir: str,
         carry = art.demonstrator_explorer.init_carry(
             B, sim.train_seed_offset, k_carry)
         episodes = 0
+        demo_successes = 0.0
         while episodes < tc.il_episodes:
             carry, buffer, stats = collect_and_update(
                 None, None, carry, buffer, jnp.asarray(0.0),
                 imitation=True, phase_offset=sim.train_seed_offset)
-            episodes += int(stats["episodes"])
+            ep_inc = int(stats["episodes"])
+            episodes += ep_inc
+            demo_successes += float(stats["success_rate"]) * ep_inc
+        demo_success = demo_successes / max(episodes, 1)
         log.info(
             "IL demonstrations: %d episodes (success %.2f) in %.1fs",
-            episodes, float(stats["success_rate"]), time.time() - t0)
+            episodes, demo_success, time.time() - t0)
+        # Demonstrator-quality gate: imitation targets from a failing
+        # demonstrator poison the value function silently (e.g. a
+        # kinematics-mismatched action stream). The reference's ORCA
+        # demonstrator succeeds at ~1.0; anything far below is a pipeline
+        # bug, not a training condition — abort loudly.
+        if demo_success < 0.7:
+            raise RuntimeError(
+                f"IL demonstrator success {demo_success:.2f} < 0.7 — "
+                "demonstrations are unusable (check robot kinematics vs "
+                "demonstrator action convention); aborting before IL.")
 
         key, k_opt = jax.random.split(key)
         # epoch sweeps sized to the *filled* buffer
@@ -253,7 +267,7 @@ def train(config: Config, policy_name: str, output_dir: str,
     last_eval_ep = -1
     last_target_ep = 0
     last_ckpt_ep = 0
-    best_success = -1.0
+    best_score = (-1.0, float("-inf"))  # lexicographic (success, return)
     best_ckpt = os.path.join(output_dir, "rl_model_best")
     t_loop = time.time()
     while episodes < tc.rl_train_episodes:
@@ -304,9 +318,10 @@ def train(config: Config, policy_name: str, output_dir: str,
             last_eval_ep = episodes
             # keep the best-on-val snapshot; the discounted return breaks
             # success-rate ties toward faster, lower-discomfort navigation
-            score = float(ev.success_rate) * 100.0 + float(ev.avg_return)
-            if score > best_success:
-                best_success = score
+            # (strict lexicographic comparison — DESIGN.md item 8)
+            score = (float(ev.success_rate), float(ev.avg_return))
+            if score > best_score:
+                best_score = score
                 ckpt.save(best_ckpt, state)
                 log.info("new best val success %.2f → %s",
                          float(ev.success_rate), best_ckpt)

@@ -27,16 +27,21 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 # (short name, policy, config path, extra test args)
+# Every row is EVALUATED on the same 5-human 500-case protocol (SURVEY.md
+# §3.5 / paper Table I): CADRL trains single-human (multiagent_training=False
+# parity) but tests with --human_num 5 like the reference's test.py does.
 RUNS = [
     ("orca", "orca", None, []),  # untrained reference baseline (Table I row)
     ("mprl", "model_predictive_rl", "configs/icra_benchmark/mp_separate.py", []),
     ("rgl", "rgl", "configs/icra_benchmark/rgl.py", []),
     ("sarl", "sarl", "configs/icra_benchmark/sarl.py", []),
     ("lstm_rl", "lstm_rl", "configs/icra_benchmark/lstm_rl.py", []),
-    ("cadrl", "cadrl", "configs/icra_benchmark/cadrl.py", []),
+    ("cadrl", "cadrl", "configs/icra_benchmark/cadrl.py",
+     ["--human_num", "5"]),
     ("mp_unicycle", "model_predictive_rl",
      "configs/icra_benchmark/mp_unicycle.py", []),
     ("sarl_om", "sarl", "configs/icra_benchmark/sarl_om.py", []),
+    ("mp_w4", "model_predictive_rl", "configs/icra_benchmark/mp_w4.py", []),
 ]
 
 

@@ -173,3 +173,23 @@ def test_point_to_segment_dist():
     q = jnp.array([[1.0, 1.0], [-1.0, 0.0], [3.0, 4.0]])
     d = point_to_segment_dist(p1, p2, q)
     np.testing.assert_allclose(np.asarray(d), [1.0, 1.0, np.sqrt(17.0)], rtol=1e-6)
+
+
+def test_cadrl_multi_human_min_reduction():
+    """Reference parity: CADRL.predict on multi-human states takes the MIN
+    pairwise value over humans (torch.min(outputs, 0)) — the Table-I 5-human
+    protocol for the single-human-trained net. At N=1 the reduction is the
+    identity, so training semantics are unchanged."""
+    import numpy as np
+    from relationalgraphlearning_tpu.models.baseline_nets import CADRLNet
+
+    net = CADRLNet((32, 1))
+    rows5 = jax.random.normal(jax.random.PRNGKey(0), (3, 5, 13))
+    params = net.init(jax.random.PRNGKey(1), rows5)
+    v5 = net.apply(params, rows5)
+    assert v5.shape == (3,)
+    # equals the min over per-human single evaluations
+    per_human = jnp.stack(
+        [net.apply(params, rows5[:, i:i + 1, :]) for i in range(5)], axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(v5), np.asarray(jnp.min(per_human, -1)), rtol=1e-6)

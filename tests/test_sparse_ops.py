@@ -186,3 +186,38 @@ def test_knn_grid_jits_at_scale():
     cols = jax.jit(lambda p: knn_graph_grid(p, 10, 5.0))(pos)
     assert cols.shape == (20_000, 10)
     assert bool((cols >= 0).all()) and bool((cols < 20_000).all())
+
+
+def test_knn_auto_dispatch_and_boundary_equivalence():
+    """knn_graph_auto: exact path below the threshold; at/above the
+    threshold the grid path must reproduce the exact neighbor sets for a
+    near-uniform crowd (the regime guaranteed by the cell_size heuristic)."""
+    import numpy as np
+    from relationalgraphlearning_tpu.ops.sparse import knn_graph, knn_graph_auto
+
+    k = 10
+    # just above the default 10k threshold → grid path
+    n = 10_016
+    pos = jax.random.uniform(jax.random.PRNGKey(2), (n, 2)) * 400.0
+    exact = np.asarray(knn_graph(pos, k))
+    auto = np.asarray(knn_graph_auto(pos, k))
+    same = sum(set(exact[i]) == set(auto[i]) for i in range(0, n, 101))
+    checked = len(range(0, n, 101))
+    assert same >= checked - 1, f"{same}/{checked} rows match"  # ties allowed
+
+    # below threshold → bitwise-identical to the exact construction
+    pos_s = pos[:512]
+    assert np.array_equal(
+        np.asarray(knn_graph_auto(pos_s, k)), np.asarray(knn_graph(pos_s, k)))
+
+
+def test_knn_auto_respects_valid_mask():
+    import numpy as np
+    from relationalgraphlearning_tpu.ops.sparse import knn_graph_auto
+
+    n, k = 10_016, 6
+    pos = jax.random.uniform(jax.random.PRNGKey(3), (n, 2)) * 400.0
+    valid = jnp.arange(n) % 2 == 0
+    cols = np.asarray(knn_graph_auto(pos, k, valid=valid))
+    # all returned neighbors of checked rows must be valid nodes
+    assert np.all(cols[::211] % 2 == 0)

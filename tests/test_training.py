@@ -338,3 +338,70 @@ def test_quality_gate_il_value_direction():
     vs = jax.vmap(lambda y: art.policy.value(
         state.params, robot(0.0, y, 0.0, 1.0), far))(ys)
     assert bool(jnp.all(jnp.diff(vs) > 0)), np.asarray(vs)
+
+
+def test_unicycle_demonstrator_succeeds():
+    """The holonomic ORCA demonstrator must navigate successfully inside a
+    unicycle-configured env: the env honors the ACTING policy's action
+    convention (parity: reference ActionXY/ActionRot types — SURVEY.md §2.1),
+    so IL demonstrations are valid whatever the robot kinematics. Guards the
+    r2 regression where (vx, vy) was silently interpreted as (v, dθ) and the
+    demonstrator 'succeeded' 0.00."""
+    from relationalgraphlearning_tpu.training.train_loop import build
+
+    cfg = Config(
+        env=dataclasses.replace(ENV, robot_kinematics="unicycle"),
+        policy=PCFG)
+    art = build(cfg, "model_predictive_rl")
+    demo_ex = art.demonstrator_explorer
+    assert demo_ex.kinematics == "holonomic"  # demonstrator convention
+    assert art.explorer.kinematics == "unicycle"  # learned policy convention
+
+    ev = jax.jit(lambda k: demo_ex.run_cases(None, 0, jnp.arange(16), k))(
+        jax.random.PRNGKey(0))
+    assert float(ev.success_rate) > 0.8, float(ev.success_rate)
+
+
+def test_unicycle_policy_steps_with_rotation_constraint():
+    """A unicycle-configured trainable policy emits (v, dθ) actions the env
+    integrates with heading-first kinematics."""
+    from relationalgraphlearning_tpu import types as T
+
+    cfg = Config(
+        env=dataclasses.replace(ENV, robot_kinematics="unicycle"),
+        policy=PCFG)
+    env = CrowdSim(cfg.env)
+    policy = make_policy("model_predictive_rl", cfg.policy, cfg.env)
+    assert policy.kinematics == "unicycle"
+    # action space is (speed, dθ) with |dθ| ≤ rotation_constraint
+    acts = np.asarray(policy.action_space)
+    assert np.all(np.abs(acts[:, 1]) <=
+                  cfg.policy.action_space.rotation_constraint + 1e-6)
+    params = policy.init_params(jax.random.PRNGKey(0))
+    ex = Explorer(env, policy, cfg.policy.gamma)
+    carry = ex.init_carry(2, 0, jax.random.PRNGKey(1))
+    carry, traj = jax.jit(
+        lambda c: ex.collect(params, c, 4, jnp.asarray(0.0), 0))(carry)
+    # heading must change only within the constraint per step
+    th0 = np.asarray(traj.robot[..., T.THETA])
+    th1 = np.asarray(traj.next_robot[..., T.THETA])
+    dtheta = np.abs(th1 - th0)
+    assert np.all(dtheta <= cfg.policy.action_space.rotation_constraint + 1e-5)
+
+
+def test_il_gate_aborts_on_bad_demonstrator(tmp_path, monkeypatch):
+    """train() must refuse to imitate a failing demonstrator (quality gate)."""
+    from relationalgraphlearning_tpu.training import train_loop as tl
+
+    # sabotage the demonstrator: a zero-velocity 'ORCA' never reaches goals
+    class StuckPolicy(ORCARobotPolicy):
+        def predict(self, params, js, key, epsilon):
+            return jnp.zeros(2)
+
+    monkeypatch.setattr(tl, "ORCARobotPolicy", StuckPolicy)
+    cfg = Config(env=ENV, policy=PCFG, train=TrainConfig())
+    with pytest.raises(RuntimeError, match="IL demonstrator success"):
+        tl.train(cfg, "model_predictive_rl", str(tmp_path / "out"),
+                 debug=True, seed=0,
+                 opts=tl.LoopOptions(train_envs=4, collect_steps=40,
+                                     eval_envs=8))

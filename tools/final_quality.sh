@@ -1,11 +1,10 @@
 #!/bin/bash
+# Regenerate the FULL quality table (every RUNS row) and persist eval
+# records + best checkpoints under results/ (data/ is gitignored).
+# No --only: a partial invocation must never define the committed table.
 set -u
 cd /root/repo
-# wait for any in-flight sweep to release the chip
-while pgrep -f "cli\.t" >/dev/null 2>&1; do sleep 20; done
-python reproduce_quality.py --skip_existing \
-  --only mprl,rgl,sarl,lstm_rl,cadrl,orca,mp_unicycle,sarl_om
-# persist results + best checkpoints into the repo (data/ is gitignored)
+python reproduce_quality.py --skip_existing "$@"
 mkdir -p results
 cp -f data/quality_table.md data/quality_table.json results/ 2>/dev/null
 for d in data/*/; do
