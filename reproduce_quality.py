@@ -45,11 +45,26 @@ RUNS = [
 ]
 
 
+def _clean_env() -> dict:
+    """Child env without the axon plugin's registration leftovers.
+
+    Importing jax in THIS process exports registration state
+    (_AXON_REGISTERED, AXON_POOL_SVC_OVERRIDE, TPU_*) into os.environ;
+    a child CLI inheriting it reuses the parent's relay session and its
+    big remote compiles hang (observed: 22+ min on programs that compile
+    in ~35 s from a fresh environment). Children must re-register.
+    """
+    drop = ("_AXON_REGISTERED", "AXON_COMPAT_VERSION",
+            "AXON_POOL_SVC_OVERRIDE", "TPU_ACCELERATOR_TYPE",
+            "TPU_LIBRARY_PATH", "TPU_TOPOLOGY", "TPU_WORKER_HOSTNAMES")
+    return {k: v for k, v in os.environ.items() if k not in drop}
+
+
 def run(cmd: list[str], log_path: str) -> int:
     print(f"$ {' '.join(cmd)}  (log: {log_path})", flush=True)
     with open(log_path, "a") as f:
         return subprocess.call(cmd, stdout=f, stderr=subprocess.STDOUT,
-                               cwd=HERE)
+                               cwd=HERE, env=_clean_env())
 
 
 def main() -> int:

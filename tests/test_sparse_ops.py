@@ -90,8 +90,7 @@ def test_pallas_kernel_interpret_matches():
     out_ref = sparse.spmm_fixed_k(
         sparse.neighbor_softmax(sparse.sddmm_fixed_k(q, x, cols, mask), mask),
         v, cols)
-    out_pl = fused_neighbor_attention(
-        q, x, v, cols, mask, interpret=True, row_tile=16)
+    out_pl = fused_neighbor_attention(q, x, v, cols, mask, interpret=True)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
                                rtol=1e-4, atol=1e-5)
 

@@ -5,6 +5,8 @@ backend — ops/pallas_graph.py `_MOSAIC_GATHER_OK`). Run on the TPU:
     python tools/probe_mosaic_gather.py
 
 Exit 0 + "PROBE OK" → flip the gate. Any crash/exception → keep XLA path.
+Known failure on this image (r3): "Multiple source vregs along gather
+dimension" — dynamic_gather is intra-vreg only; see ops/pallas_graph.py.
 """
 
 import sys
@@ -29,7 +31,7 @@ def main():
     # bypass the gate: call the pallas path directly
     pallas_graph._MOSAIC_GATHER_OK = True
     out = pallas_graph.fused_neighbor_attention(
-        q, x, v, cols, mask, row_tile=512)
+        q, x, v, cols, mask)
     jax.block_until_ready(out)
 
     ref_s = sparse.sddmm_fixed_k(q, x, cols, mask)

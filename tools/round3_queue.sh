@@ -5,22 +5,17 @@
 set -u
 cd /root/repo
 mkdir -p data
+# Scrub axon registration leftovers inherited from any parent that already
+# imported jax — children must re-register or big remote compiles hang
+# (see reproduce_quality._clean_env).
+unset _AXON_REGISTERED AXON_COMPAT_VERSION AXON_POOL_SVC_OVERRIDE \
+      TPU_ACCELERATOR_TYPE TPU_LIBRARY_PATH TPU_TOPOLOGY TPU_WORKER_HOSTNAMES
 
 echo "=== [$(date +%T)] full quality table (9 runs) ==="
 bash tools/final_quality.sh
 
-echo "=== [$(date +%T)] ORCA baseline parameter sweep ==="
-mkdir -p data/orca
-for ss in 0 0.05 0.1 0.15 0.2; do
-  python -m relationalgraphlearning_tpu.cli.test --policy orca \
-    --model_dir data/orca --phase test --safety_space "$ss" \
-    >> data/orca/sweep.log 2>&1
-done
-for th in 2.5 10; do
-  python -m relationalgraphlearning_tpu.cli.test --policy orca \
-    --model_dir data/orca --phase test --orca_time_horizon "$th" \
-    >> data/orca/sweep.log 2>&1
-done
+# (ORCA baseline row + parameter sweep already produced on CPU —
+#  data/orca/eval_test*.json; the row is device-independent)
 
 echo "=== [$(date +%T)] planner ablation on the best mprl checkpoint ==="
 BEST=data/mprl
