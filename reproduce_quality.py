@@ -132,6 +132,13 @@ def main() -> int:
                 f"| {name} | {r['success_rate']:.3f} | "
                 f"{r['collision_rate']:.3f} | {r['timeout_rate']:.3f} | "
                 f"{r['nav_time']:.2f} s | {r['return']:.3f} |")
+    if any(name == "orca" for name, _ in rows):
+        lines.append(
+            "\norca = untrained reciprocal-avoidance baseline at the "
+            "faithful RVO2 defaults (safety_space=0, time_horizon=5). The "
+            "row is hypersensitive to those params — time_horizon=10 "
+            "reproduces the paper's ~0.43/0.57 row exactly; full sweep in "
+            "PERF.md / results/orca/.")
     table = "\n".join(lines)
     print(table, flush=True)
     out = os.path.join(HERE, args.data_dir, "quality_table.md")
