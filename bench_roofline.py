@@ -161,6 +161,48 @@ def main():
         "note": "measured chain exceeding this proves VMEM-resident gathers",
     }))
 
+    # Windowed dense MXU path (ops/block_graph.py): same chain re-mapped to
+    # per-block masked dense matmuls; its ceiling is the MXU, not the VPU.
+    # Dense flops/edge are (C/B)/K × larger (C=640, B=256 → 2.5/16 per edge
+    # slot, i.e. 40 candidate slots per true edge), so MFU is reported
+    # against dense flops actually issued.
+    from relationalgraphlearning_tpu.ops import block_graph, sparse as _sp
+    B, C = 256, 640
+    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        pos = jax.random.uniform(ks[1], (n, 2)) * 100
+        pos = pos[block_graph.spatial_sort(pos)]
+        cols = _sp.knn_graph(pos, K)
+        cand, cov = block_graph.block_window(cols, B, C)
+        h0 = jax.random.normal(ks[0], (n, d), dtype)
+
+        @jax.jit
+        def fb(h, cols, cand):
+            def body(h, _):
+                out = block_graph.block_attention(h, h, h, cols, cand)
+                out = out / jnp.maximum(
+                    jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6)
+                return out.astype(dtype), None
+
+            h, _ = jax.lax.scan(body, h, None, 100)
+            return h
+
+        dt = _med_time(fb, h0, cols, cand, reps=3)
+        e = n * K * 100 / dt
+        dense_flops = n * C * 2 * (d + d) * 100 / dt  # issued matmul flops
+        mxu_key = "mxu_bf16_tflops" if tag == "bf16" else "mxu_f32_tflops"
+        res[f"block_{tag}_gedges_s"] = round(e / 1e9, 2)
+        res[f"block_{tag}_dense_tflops"] = round(dense_flops / 1e12, 2)
+        res[f"block_{tag}_vs_mxu"] = round(
+            dense_flops / (res[mxu_key] * 1e12), 3)
+        print(json.dumps({
+            "metric": f"graph chain (windowed dense MXU, {tag})",
+            "gedges_per_s": res[f"block_{tag}_gedges_s"],
+            "dense_tflops": res[f"block_{tag}_dense_tflops"],
+            "fraction_of_mxu_ceiling": res[f"block_{tag}_vs_mxu"],
+            "coverage": float(cov),
+        }))
+
     from relationalgraphlearning_tpu.ops import pallas_graph
     if pallas_graph._MOSAIC_GATHER_OK:
         e = graph_chain(n=n, K=K, d=d, use_pallas=True)

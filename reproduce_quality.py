@@ -44,6 +44,17 @@ RUNS = [
     ("mp_w4", "model_predictive_rl", "configs/icra_benchmark/mp_w4.py", []),
 ]
 
+# Rows whose canonical record is a COMMITTED run under results/ (the round-2
+# headline checkpoints). When data/<name>/eval_test.json is absent, the table
+# uses results/<dir>/eval_test.json instead of retraining from scratch, so a
+# partial regeneration can never silently replace the headline with a weaker
+# rerun (the r2 quality_table failure mode).
+COMMITTED_FALLBACK = {
+    "mprl": "results/mprl_td",
+    "rgl": "results/rgl",
+    "orca": "results/orca",
+}
+
 
 def _clean_env() -> dict:
     """Child env without the axon plugin's registration leftovers.
@@ -89,6 +100,13 @@ def main() -> int:
             if args.skip_existing and os.path.exists(done):
                 print(f"[{name}] eval_test.json exists — skipping", flush=True)
                 continue
+            fb = COMMITTED_FALLBACK.get(name)
+            if (args.skip_existing and fb is not None
+                    and os.path.exists(os.path.join(HERE, fb,
+                                                    "eval_test.json"))):
+                print(f"[{name}] using committed {fb} — skipping retrain",
+                      flush=True)
+                continue
             os.makedirs(outdir, exist_ok=True)
             log = os.path.join(outdir, "reproduce.log")
             t0 = time.time()
@@ -115,6 +133,9 @@ def main() -> int:
     rows = []
     for name, policy, config, _ in runs:
         path = os.path.join(HERE, args.data_dir, name, "eval_test.json")
+        if not os.path.exists(path) and name in COMMITTED_FALLBACK:
+            path = os.path.join(HERE, COMMITTED_FALLBACK[name],
+                                "eval_test.json")
         if not os.path.exists(path):
             rows.append((name, None))
             continue
