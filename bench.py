@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from relationalgraphlearning_tpu.utils import compile_cache
+from relationalgraphlearning_tpu.utils.sync import force
 
 compile_cache.enable()
 
@@ -82,14 +83,14 @@ def tpu_steps_per_s(batch: int = 1024, horizon: int = 128,
         lambda c: ex.collect(None, c, horizon, jnp.asarray(0.0), 0))
     carry = ex.init_carry(batch, 0, jax.random.PRNGKey(0))
     carry, traj = collect(carry)  # compile + warm
-    jax.block_until_ready(traj.reward)
+    force(traj.reward)  # block_until_ready lies on the tunnel — fetch
 
     rates = []
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(repeats):
-            carry, traj = collect(carry)
-        jax.block_until_ready(traj.reward)
+            carry, traj = collect(carry)  # carry chains: data-dependent
+        force(traj.reward)
         rates.append(batch * horizon * repeats / (time.perf_counter() - t0))
     return statistics.median(rates)
 

@@ -18,17 +18,18 @@ import jax
 import jax.numpy as jnp
 
 from relationalgraphlearning_tpu.utils import compile_cache
+from relationalgraphlearning_tpu.utils.sync import force
 
 compile_cache.enable()
 
 
 def _timeit(fn, *args, reps=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)  # block_until_ready lies on the tunnel — fetch to sync
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)  # in-order TPU stream: last value implies all reps done
     return (time.perf_counter() - t0) / reps
 
 
@@ -170,10 +171,10 @@ def mega_crowd(n=10240, K=10, steps=16, side=None):
 
     vel = jnp.zeros((n, 2))
     out = rollout(pos, vel)
-    jax.block_until_ready(out)
+    force(out)
     t0 = time.perf_counter()
     out = rollout(pos, vel)
-    jax.block_until_ready(out)
+    force(out)
     dt = time.perf_counter() - t0
     return n * steps / dt  # agent-steps/s (ORCA + GNN value per agent-step)
 

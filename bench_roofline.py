@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from relationalgraphlearning_tpu.utils import compile_cache
+from relationalgraphlearning_tpu.utils.sync import force
 
 compile_cache.enable()
 
@@ -34,13 +35,13 @@ def _med_time(fn, *args, reps=10, trials=5):
     import statistics
 
     out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)  # block_until_ready lies on the tunnel — fetch to sync
     ts = []
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*args)
-        jax.block_until_ready(out)
+        force(out)  # in-order stream: last value implies all reps done
         ts.append((time.perf_counter() - t0) / reps)
     return statistics.median(ts)
 

@@ -48,13 +48,15 @@ def measure(method: str, n_devices: int, n_per_shard: int = 2048,
         s, _ = jax.lax.scan(body, states, None, inner)
         return s
 
+    from relationalgraphlearning_tpu.utils.sync import force
+
     with mesh:
         out = run(params, states, cols)
-        jax.block_until_ready(out)
+        force(out)  # fetch-based barrier (see utils/sync.py)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = run(params, states, cols)
-        jax.block_until_ready(out)
+        force(out)
         dt = (time.perf_counter() - t0) / reps
     # num_layer aggregation passes per forward
     return n * K * inner * cfg.num_layer / dt
