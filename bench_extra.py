@@ -126,16 +126,20 @@ def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=256, C=640):
     return n * K * inner / dt, float(cov)
 
 
-def mega_crowd(n=10240, K=10, steps=16, side=None):
+def mega_crowd(n=10240, K=10, steps=16, side=None, backend="gather",
+               block_B=256, block_C=640):
     """BASELINE config #5 scale: 10k+-agent synthetic crowd — kNN ORCA step
     + SparseRGL decentralized value inference, one jitted program. Graph
     construction goes through ``knn_graph_auto``: at these sizes the
     spatial-hash grid path replaces the O(n²) distance matrix (the wall at
-    n=10⁵)."""
+    n=10⁵). ``backend='block'`` re-sorts the crowd spatially every step and
+    runs the GNN through the windowed dense MXU path (ops/block_graph.py),
+    the production configuration for 10k+ crowds on TPU."""
     from relationalgraphlearning_tpu.configs.base import GCNConfig
     from relationalgraphlearning_tpu.envs.orca import (
         ORCAParams, centralized_orca_step_knn)
     from relationalgraphlearning_tpu.models.sparse_rgl import SparseValueNet
+    from relationalgraphlearning_tpu.ops import block_graph
     from relationalgraphlearning_tpu.ops.sparse import knn_graph_auto
 
     side = side or 200.0 * (n / 10240.0) ** 0.5  # keep crowd density constant
@@ -147,33 +151,43 @@ def mega_crowd(n=10240, K=10, steps=16, side=None):
     act = jnp.ones((n,), bool)
     params_orca = ORCAParams()
 
-    net = SparseValueNet(GCNConfig(), value_dims=(32, 100, 100, 1))
+    net = SparseValueNet(GCNConfig(), backend=backend)
     states0 = jnp.zeros((n, 5))
     cols0 = knn_graph_auto(pos, 16)
-    net_params = net.init(jax.random.PRNGKey(1), states0, cols0)
+    cand0 = (block_graph.block_window(cols0, block_B, block_C)[0]
+             if backend == "block" else None)
+    net_params = net.init(jax.random.PRNGKey(1), states0, cols0,
+                          block_cand=cand0)
 
     @jax.jit
-    def rollout(pos, vel):
+    def rollout(pos, vel, goals):
         def body(carry, _):
-            pos, vel = carry
+            pos, vel, goals = carry
             to = goals - pos
             d = jnp.linalg.norm(to, axis=-1, keepdims=True)
             pref = jnp.where(d > 1e-3, to / jnp.maximum(d, 1e-9), 0.0)
             new_v = centralized_orca_step_knn(
                 pos, vel, rad, pref, vmax, act, params_orca, K)
             new_pos = pos + new_v * 0.25
+            if backend == "block":
+                # keep the crowd spatially blocked as it moves
+                perm = block_graph.spatial_sort(new_pos)
+                new_pos, new_v, goals = new_pos[perm], new_v[perm], goals[perm]
             states = jnp.concatenate([new_pos, new_v, rad[:, None]], -1)
             cols = knn_graph_auto(new_pos, 16)
-            vals = net.apply(net_params, states, cols)
-            return (new_pos, new_v), jnp.mean(vals)
-        (pos, vel), vals = jax.lax.scan(body, (pos, vel), None, steps)
+            cand = (block_graph.block_window(cols, block_B, block_C)[0]
+                    if backend == "block" else None)
+            vals = net.apply(net_params, states, cols, block_cand=cand)
+            return (new_pos, new_v, goals), jnp.mean(vals)
+        (pos, vel, goals), vals = jax.lax.scan(
+            body, (pos, vel, goals), None, steps)
         return pos, vel, vals
 
     vel = jnp.zeros((n, 2))
-    out = rollout(pos, vel)
+    out = rollout(pos, vel, goals)
     force(out)
     t0 = time.perf_counter()
-    out = rollout(pos, vel)
+    out = rollout(pos, vel, goals)
     force(out)
     dt = time.perf_counter() - t0
     return n * steps / dt  # agent-steps/s (ORCA + GNN value per agent-step)
@@ -194,9 +208,15 @@ def main():
     m = mega_crowd()
     print(json.dumps({"metric": "10k-agent crowd (kNN ORCA + SparseRGL values)",
                       "value": round(m, 1), "unit": "agent-steps/s"}))
+    mb = mega_crowd(backend="block")
+    print(json.dumps({"metric": "10k-agent crowd (block MXU backend)",
+                      "value": round(mb, 1), "unit": "agent-steps/s"}))
     m100k = mega_crowd(n=102_400)
     print(json.dumps({"metric": "100k-agent crowd (grid kNN + ORCA + SparseRGL)",
                       "value": round(m100k, 1), "unit": "agent-steps/s"}))
+    m100kb = mega_crowd(n=102_400, backend="block")
+    print(json.dumps({"metric": "100k-agent crowd (block MXU backend)",
+                      "value": round(m100kb, 1), "unit": "agent-steps/s"}))
 
 
 if __name__ == "__main__":

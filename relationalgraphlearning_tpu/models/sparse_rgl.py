@@ -28,8 +28,19 @@ from relationalgraphlearning_tpu.ops import sparse
 
 
 class SparseRGL(nn.Module):
+    """``backend`` selects the aggregation implementation (identical math):
+
+    - ``"gather"`` — per-edge gather path (ops/sparse.py); default.
+    - ``"block"`` — windowed dense MXU path (ops/block_graph.py); requires
+      spatially-sorted nodes + ``block_cand`` from ``block_window`` passed
+      to ``__call__``; the fast path for 10k+ crowds on TPU.
+    - ``"pallas"`` — fused Pallas kernel (gated off while Mosaic rejects
+      cross-vreg gathers; ops/pallas_graph.py).
+    """
+
     cfg: GCNConfig
-    use_pallas: bool = False  # fused Pallas aggregation kernel (TPU)
+    use_pallas: bool = False  # legacy alias for backend="pallas"
+    backend: str = "gather"
 
     def setup(self):
         cfg = self.cfg
@@ -44,16 +55,25 @@ class SparseRGL(nn.Module):
         ]
 
     def _aggregate(self, H: Array, cols: Array, mask: Optional[Array],
-                   layer: nn.Dense) -> Array:
+                   layer: nn.Dense,
+                   block_cand: Optional[Array] = None) -> Array:
         """softmax-SDDMM + SpMM for one GCN layer: relu(Â · H · W)."""
         q = self.w_a(H)
         v = layer(H)
-        if self.use_pallas:
+        backend = "pallas" if self.use_pallas else self.backend
+        if backend == "pallas":
             from relationalgraphlearning_tpu.ops.pallas_graph import (
                 fused_neighbor_attention,
             )
 
             out = fused_neighbor_attention(q, H, v, cols, mask)
+        elif backend == "block":
+            from relationalgraphlearning_tpu.ops import block_graph
+
+            assert block_cand is not None, (
+                "backend='block' needs block_window candidates")
+            out = block_graph.block_attention(q, H, v, cols, block_cand,
+                                              mask=mask)
         else:
             scores = sparse.sddmm_fixed_k(q, H, cols, mask)
             attn = sparse.neighbor_softmax(scores, mask)
@@ -61,12 +81,14 @@ class SparseRGL(nn.Module):
         return nn.relu(out)
 
     def __call__(self, states: Array, cols: Array,
-                 mask: Optional[Array] = None) -> Array:
+                 mask: Optional[Array] = None,
+                 block_cand: Optional[Array] = None) -> Array:
         """states [n, 5], cols [n, K] neighbor indices, mask [n, K] edge
-        validity → node embeddings [n, X_dim]."""
+        validity → node embeddings [n, X_dim]. ``block_cand`` [nb, C] from
+        ``block_graph.block_window`` when ``backend='block'``."""
         H = self.w_h(states)
         for layer in self.gcn_layers:
-            H_next = self._aggregate(H, cols, mask, layer)
+            H_next = self._aggregate(H, cols, mask, layer, block_cand)
             if self.cfg.skip_connection and H_next.shape == H.shape:
                 H_next = H_next + H
             H = H_next
@@ -79,13 +101,16 @@ class SparseValueNet(nn.Module):
     gcn: GCNConfig
     value_dims: Sequence[int] = (32, 100, 100, 1)
     use_pallas: bool = False
+    backend: str = "gather"
 
     def setup(self):
         self.graph_model = SparseRGL(self.gcn, use_pallas=self.use_pallas,
+                                     backend=self.backend,
                                      name="graph_model")
         self.value_head = MLP(self.value_dims, name="value_network")
 
     def __call__(self, states: Array, cols: Array,
-                 mask: Optional[Array] = None) -> Array:
-        H = self.graph_model(states, cols, mask)
+                 mask: Optional[Array] = None,
+                 block_cand: Optional[Array] = None) -> Array:
+        H = self.graph_model(states, cols, mask, block_cand=block_cand)
         return self.value_head(H)[..., 0]

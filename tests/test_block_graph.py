@@ -72,3 +72,26 @@ def test_spatial_sort_is_permutation():
     pos = jax.random.normal(jax.random.PRNGKey(6), (777, 2)) * 30
     perm = block_graph.spatial_sort(pos)
     assert sorted(np.asarray(perm).tolist()) == list(range(777))
+
+
+def test_sparse_value_net_block_backend_matches_gather():
+    """Model-level equivalence: SparseValueNet(backend='block') == gather
+    backend with identical params on a spatially-sorted crowd."""
+    from relationalgraphlearning_tpu.configs.base import GCNConfig
+    from relationalgraphlearning_tpu.models.sparse_rgl import SparseValueNet
+
+    n, K, B, C = 512, 8, 64, 192
+    pos2 = _crowd(n, seed=7)
+    states = jnp.concatenate(
+        [pos2, jnp.zeros((n, 2)), 0.3 * jnp.ones((n, 1))], -1)
+    cols = sparse.knn_graph(pos2, K)
+    cand, cov = block_graph.block_window(cols, B, C)
+    assert float(cov) == 1.0
+
+    net_g = SparseValueNet(GCNConfig())
+    net_b = SparseValueNet(GCNConfig(), backend="block")
+    params = net_g.init(jax.random.PRNGKey(8), states, cols)
+    want = net_g.apply(params, states, cols)
+    got = net_b.apply(params, states, cols, block_cand=cand)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
