@@ -104,6 +104,11 @@ def main(argv=None):
         policy_kwargs["time_horizon"] = args.orca_time_horizon
     art = build(config, args.policy, policy_kwargs=policy_kwargs)
     params = art.policy.init_params(jax.random.PRNGKey(0))
+    if args.il or args.checkpoint == "il":
+        # il_model carries the IL optimizer's state (SGD momentum trace) —
+        # the restore template must be built with the same optimizer
+        art.trainer.set_learning_rate(config.train.il_learning_rate,
+                                      config.train.il_optimizer)
     state = art.trainer.init(params)
     if args.il or args.checkpoint == "il":
         name = "il_model"

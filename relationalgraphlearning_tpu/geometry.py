@@ -69,3 +69,31 @@ def reached_destination(full_state: Array, tol: Array | None = None) -> Array:
     if tol is None:
         tol = full_state[..., T.RADIUS]
     return d < tol
+
+
+def holonomic_to_unicycle(action: Array, theta: Array,
+                          rotation_constraint: float) -> Array:
+    """Convert a holonomic (vx, vy) action into a feasible unicycle
+    (v, dtheta) for an agent currently heading ``theta``.
+
+    Parity note: the reference disambiguates by action TYPE (ActionXY vs
+    ActionRot) and lets a holonomic demonstrator drive a unicycle-configured
+    robot holonomically. That leaves imitation data with a frozen heading
+    the unicycle policy never sees at decision time (r3 finding: IL val 0.46
+    vs 0.94 holonomic). Converting instead keeps the demonstration
+    trajectories INSIDE the unicycle-feasible set: turn toward the commanded
+    velocity clipped to ±``rotation_constraint``, with forward speed scaled
+    by cos of the residual heading error (never negative — large errors turn
+    in place), so stored states carry the heading distribution the policy
+    meets at evaluation.
+    """
+    vx, vy = action[..., 0], action[..., 1]
+    speed = jnp.sqrt(vx * vx + vy * vy)
+    heading = jnp.arctan2(vy, vx)
+    err = heading - theta
+    err = jnp.arctan2(jnp.sin(err), jnp.cos(err))  # wrap to [-pi, pi]
+    dtheta = jnp.clip(err, -rotation_constraint, rotation_constraint)
+    moving = speed > 1e-6
+    dtheta = jnp.where(moving, dtheta, 0.0)
+    v = speed * jnp.maximum(jnp.cos(err - dtheta), 0.0)
+    return jnp.stack([v, dtheta], axis=-1)

@@ -71,20 +71,35 @@ class EvalStats(NamedTuple):
 
 class Explorer:
     def __init__(self, env: CrowdSim, policy, gamma: float,
-                 base_seed: int = 0):
+                 base_seed: int = 0,
+                 rotation_constraint: float = 3.14159265 / 4):
         self.env = env
         self.policy = policy
         self.gamma = gamma
         self.base_seed = base_seed
         self.cfg: EnvConfig = env.cfg
-        # The env honors the ACTING policy's action convention (parity: the
-        # reference's ActionXY/ActionRot types). A holonomic demonstrator
-        # (ORCA) rolling inside a unicycle-configured env must be stepped
-        # holonomically — trainable policies set kinematics = env default.
         self.kinematics: str = getattr(
             policy, "kinematics", None) or env.cfg.robot_kinematics
+        # A holonomic demonstrator (ORCA) inside a unicycle-configured env
+        # has its (vx, vy) CONVERTED to a feasible (v, dtheta) and the env
+        # steps unicycle, so demonstration trajectories carry the heading
+        # distribution the learned policy meets at evaluation (frozen-theta
+        # holonomic demos left the value net out of distribution — r3).
+        self.convert_to_unicycle = (
+            self.kinematics == T.HOLONOMIC
+            and env.cfg.robot_kinematics == T.UNICYCLE)
+        self.rotation_constraint = rotation_constraint
+        if self.convert_to_unicycle:
+            self.kinematics = T.UNICYCLE
 
     def _step(self, states: EnvState, actions: Array):
+        if self.convert_to_unicycle:
+            from relationalgraphlearning_tpu.geometry import (
+                holonomic_to_unicycle)
+
+            actions = holonomic_to_unicycle(
+                actions, states.robot[..., T.THETA],
+                self.rotation_constraint)
         return jax.vmap(
             lambda s, a: self.env.step(s, a, kinematics=self.kinematics)
         )(states, actions)

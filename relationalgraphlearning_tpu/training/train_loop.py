@@ -94,7 +94,9 @@ def build(config: Config, policy_name: str, base_seed: int = 0,
     demonstrator = ORCARobotPolicy(
         config.policy, config.env,
         safety_space=config.train.orca_safety_space)
-    demo_explorer = Explorer(env, demonstrator, config.policy.gamma, base_seed)
+    demo_explorer = Explorer(
+        env, demonstrator, config.policy.gamma, base_seed,
+        rotation_constraint=config.policy.action_space.rotation_constraint)
     return TrainerArtifacts(policy, trainer, explorer, demo_explorer, env)
 
 

@@ -342,11 +342,12 @@ def test_quality_gate_il_value_direction():
 
 def test_unicycle_demonstrator_succeeds():
     """The holonomic ORCA demonstrator must navigate successfully inside a
-    unicycle-configured env: the env honors the ACTING policy's action
-    convention (parity: reference ActionXY/ActionRot types — SURVEY.md §2.1),
-    so IL demonstrations are valid whatever the robot kinematics. Guards the
-    r2 regression where (vx, vy) was silently interpreted as (v, dθ) and the
-    demonstrator 'succeeded' 0.00."""
+    unicycle-configured env. Its (vx, vy) is CONVERTED to a feasible
+    (v, dθ) and the env steps unicycle (heading evolves), so imitation
+    trajectories carry the heading distribution the learned policy meets at
+    evaluation. Guards two regressions: r2's (vx, vy) silently read as
+    (v, dθ) (demonstrator 'succeeded' 0.00), and r3's frozen-theta holonomic
+    demos (IL val 0.46 vs 0.94 holonomic — value net out of distribution)."""
     from relationalgraphlearning_tpu.training.train_loop import build
 
     cfg = Config(
@@ -354,12 +355,37 @@ def test_unicycle_demonstrator_succeeds():
         policy=PCFG)
     art = build(cfg, "model_predictive_rl")
     demo_ex = art.demonstrator_explorer
-    assert demo_ex.kinematics == "holonomic"  # demonstrator convention
+    assert demo_ex.convert_to_unicycle  # demonstrator converts, env unicycle
+    assert demo_ex.kinematics == "unicycle"
     assert art.explorer.kinematics == "unicycle"  # learned policy convention
+    assert not art.explorer.convert_to_unicycle
 
     ev = jax.jit(lambda k: demo_ex.run_cases(None, 0, jnp.arange(16), k))(
         jax.random.PRNGKey(0))
     assert float(ev.success_rate) > 0.8, float(ev.success_rate)
+
+
+def test_holonomic_to_unicycle_conversion():
+    """Feasibility + fidelity of the action conversion: |dθ| respects the
+    constraint, forward speed never exceeds the commanded speed, zero
+    commands hold heading, and small-angle commands are followed exactly."""
+    from relationalgraphlearning_tpu.geometry import holonomic_to_unicycle
+
+    rc = np.pi / 4
+    theta = jnp.asarray([0.0, 0.0, np.pi / 2, 0.0])
+    act = jnp.asarray([
+        [1.0, 0.0],    # straight ahead: v=1, dθ=0
+        [0.0, 1.0],    # 90° left: clipped to rc, speed scaled by cos
+        [0.0, 1.0],    # aligned with heading π/2: v=1, dθ=0
+        [0.0, 0.0],    # stop: v=0, dθ=0
+    ])
+    out = np.asarray(holonomic_to_unicycle(act, theta, rc))
+    np.testing.assert_allclose(out[0], [1.0, 0.0], atol=1e-6)
+    assert abs(out[1, 1] - rc) < 1e-6
+    np.testing.assert_allclose(out[1, 0], np.cos(np.pi / 2 - rc), atol=1e-6)
+    np.testing.assert_allclose(out[2], [1.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(out[3], [0.0, 0.0], atol=1e-6)
+    assert np.all(np.abs(out[:, 1]) <= rc + 1e-6)
 
 
 def test_unicycle_policy_steps_with_rotation_constraint():
