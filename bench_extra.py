@@ -110,19 +110,21 @@ def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=256, C=640):
     pos = pos[block_graph.spatial_sort(pos)]
     cols = sparse.knn_graph(pos, K)
     cand, cov = block_graph.block_window(cols, B, C)
+    emask = block_graph.block_masks(cols, cand)  # graph-static, built once
     h0 = jax.random.normal(ks[0], (n, d))
 
     @jax.jit
-    def f(h, cols, cand):
+    def f(h, cols, cand, emask):
         def body(h, _):
-            out = block_graph.block_attention(h, h, h, cols, cand)
+            out = block_graph.block_attention(h, h, h, cols, cand,
+                                              emask=emask)
             return out / jnp.maximum(
                 jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6), None
 
         h, _ = jax.lax.scan(body, h, None, inner)
         return h
 
-    dt = _timeit(f, h0, cols, cand, reps=3)
+    dt = _timeit(f, h0, cols, cand, emask, reps=3)
     return n * K * inner / dt, float(cov)
 
 

@@ -175,12 +175,14 @@ def main():
         pos = pos[block_graph.spatial_sort(pos)]
         cols = _sp.knn_graph(pos, K)
         cand, cov = block_graph.block_window(cols, B, C)
+        emask = block_graph.block_masks(cols, cand)  # graph-static
         h0 = jax.random.normal(ks[0], (n, d), dtype)
 
         @jax.jit
-        def fb(h, cols, cand):
+        def fb(h, cols, cand, emask):
             def body(h, _):
-                out = block_graph.block_attention(h, h, h, cols, cand)
+                out = block_graph.block_attention(h, h, h, cols, cand,
+                                                  emask=emask)
                 out = out / jnp.maximum(
                     jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6)
                 return out.astype(dtype), None
@@ -188,7 +190,7 @@ def main():
             h, _ = jax.lax.scan(body, h, None, 100)
             return h
 
-        dt = _med_time(fb, h0, cols, cand, reps=3)
+        dt = _med_time(fb, h0, cols, cand, emask, reps=3)
         e = n * K * 100 / dt
         dense_flops = n * C * 2 * (d + d) * 100 / dt  # issued matmul flops
         mxu_key = "mxu_bf16_tflops" if tag == "bf16" else "mxu_f32_tflops"

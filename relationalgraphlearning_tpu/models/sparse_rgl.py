@@ -56,7 +56,8 @@ class SparseRGL(nn.Module):
 
     def _aggregate(self, H: Array, cols: Array, mask: Optional[Array],
                    layer: nn.Dense,
-                   block_cand: Optional[Array] = None) -> Array:
+                   block_cand: Optional[Array] = None,
+                   block_emask: Optional[Array] = None) -> Array:
         """softmax-SDDMM + SpMM for one GCN layer: relu(Â · H · W)."""
         q = self.w_a(H)
         v = layer(H)
@@ -73,7 +74,7 @@ class SparseRGL(nn.Module):
             assert block_cand is not None, (
                 "backend='block' needs block_window candidates")
             out = block_graph.block_attention(q, H, v, cols, block_cand,
-                                              mask=mask)
+                                              mask=mask, emask=block_emask)
         else:
             scores = sparse.sddmm_fixed_k(q, H, cols, mask)
             attn = sparse.neighbor_softmax(scores, mask)
@@ -82,13 +83,22 @@ class SparseRGL(nn.Module):
 
     def __call__(self, states: Array, cols: Array,
                  mask: Optional[Array] = None,
-                 block_cand: Optional[Array] = None) -> Array:
+                 block_cand: Optional[Array] = None,
+                 block_emask: Optional[Array] = None) -> Array:
         """states [n, 5], cols [n, K] neighbor indices, mask [n, K] edge
         validity → node embeddings [n, X_dim]. ``block_cand`` [nb, C] from
-        ``block_graph.block_window`` when ``backend='block'``."""
+        ``block_graph.block_window`` when ``backend='block'``; pass
+        ``block_emask`` (``block_graph.block_masks``, graph-static) so the
+        edge-mask scatter is built once per graph, not once per layer."""
         H = self.w_h(states)
+        if (self.backend == "block" and not self.use_pallas
+                and block_emask is None and block_cand is not None):
+            from relationalgraphlearning_tpu.ops import block_graph
+
+            block_emask = block_graph.block_masks(cols, block_cand, mask)
         for layer in self.gcn_layers:
-            H_next = self._aggregate(H, cols, mask, layer, block_cand)
+            H_next = self._aggregate(H, cols, mask, layer, block_cand,
+                                     block_emask)
             if self.cfg.skip_connection and H_next.shape == H.shape:
                 H_next = H_next + H
             H = H_next
@@ -111,6 +121,8 @@ class SparseValueNet(nn.Module):
 
     def __call__(self, states: Array, cols: Array,
                  mask: Optional[Array] = None,
-                 block_cand: Optional[Array] = None) -> Array:
-        H = self.graph_model(states, cols, mask, block_cand=block_cand)
+                 block_cand: Optional[Array] = None,
+                 block_emask: Optional[Array] = None) -> Array:
+        H = self.graph_model(states, cols, mask, block_cand=block_cand,
+                             block_emask=block_emask)
         return self.value_head(H)[..., 0]

@@ -92,54 +92,56 @@ def block_window(cols: Array, block_size: int, window: int
     return cand, coverage
 
 
-def _edge_mask(cols_b: Array, cand: Array, n: int) -> Array:
-    """mask [B, C] with True exactly at this block's (row, neighbor) edges.
+def block_masks(cols: Array, cand: Array,
+                mask: Optional[Array] = None) -> Array:
+    """emask [nb, B, C]: True exactly at each block's (row, neighbor) edges.
+
+    Graph-static: depends only on cols/cand (+edge validity), so compute it
+    ONCE per graph and reuse across layers/iterations — scatter construction
+    inside a hot loop is what XLA cannot hoist or run fast on TPU (measured
+    30× slowdown when built per scan iteration).
 
     ``cand`` rows are sorted, so each col id locates its slot by
-    searchsorted; ids that overflowed the window scatter onto a slot whose
+    searchsorted; ids that overflowed the window land on a slot whose
     candidate differs and are dropped by the equality check.
     """
-    B, K = cols_b.shape
-    C = cand.shape[0]
-    slots = jnp.clip(jnp.searchsorted(cand, cols_b.reshape(-1)), 0, C - 1)
-    hit = cand[slots] == cols_b.reshape(-1)
-    rows = jnp.repeat(jnp.arange(B), K)
-    return jnp.zeros((B, C), bool).at[rows, slots].max(hit)
+    n, K = cols.shape
+    nb, C = cand.shape
+    B = n // nb
+    colsb = cols.reshape(nb, B, K)
+    mb = (jnp.ones((nb, B, K), bool) if mask is None
+          else mask.reshape(nb, B, K))
+
+    def _m(cols_b, m_b, cand_b):
+        slots = jnp.clip(jnp.searchsorted(cand_b, cols_b.reshape(-1)),
+                         0, C - 1)
+        hit = (cand_b[slots] == cols_b.reshape(-1)) & m_b.reshape(-1)
+        rows = jnp.repeat(jnp.arange(B), K)
+        return jnp.zeros((B, C), bool).at[rows, slots].max(hit)
+
+    return jax.vmap(_m)(colsb, mb, cand)
 
 
 def block_attention(q: Array, x: Array, v: Array, cols: Array,
                     cand: Array, mask: Optional[Array] = None,
-                    ) -> Array:
+                    emask: Optional[Array] = None) -> Array:
     """Exact k-NN neighbor attention via masked dense per-block matmuls.
 
     q [n, dq] (query side, e.g. X·W_a), x [n, dq] (key side), v [n, dv]
     (value side), cols [n, K], cand [nb, C] from ``block_window``.
+    Pass ``emask`` (from ``block_masks``) when calling repeatedly on the
+    same graph — it is graph-static and expensive to rebuild per call.
     Returns out [n, dv] == spmm(neighbor_softmax(sddmm(q, x, cols, mask)),
     v, cols) when coverage == 1.
     """
     n, dq = q.shape
     nb, C = cand.shape
-    B = n // nb
-    K = cols.shape[1]
-    qb = q.reshape(nb, B, dq)
-    colsb = cols.reshape(nb, B, K)
+    if emask is None:
+        emask = block_masks(cols, cand, mask)
+    qb = q.reshape(nb, n // nb, dq)
     candc = jnp.clip(cand, 0, n - 1)
     xg = x[candc]  # [nb, C, dq]
     vg = v[candc]  # [nb, C, dv]
-
-    emask = jax.vmap(_edge_mask, in_axes=(0, 0, None))(colsb, cand, n)
-    if mask is not None:
-        # per-edge validity folds in through the same scatter
-        mb = mask.reshape(nb, B, K)
-
-        def _m(cols_b, m_b, cand_b):
-            slots = jnp.clip(jnp.searchsorted(cand_b, cols_b.reshape(-1)),
-                             0, C - 1)
-            hit = (cand_b[slots] == cols_b.reshape(-1)) & m_b.reshape(-1)
-            rows = jnp.repeat(jnp.arange(B), K)
-            return jnp.zeros((B, C), bool).at[rows, slots].max(hit)
-
-        emask = jax.vmap(_m)(colsb, mb, cand)
 
     scores = jnp.einsum("nbd,ncd->nbc", qb, xg,
                         preferred_element_type=jnp.float32)
