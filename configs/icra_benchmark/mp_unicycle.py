@@ -12,5 +12,8 @@ def get_config() -> Config:
         env=EnvConfig(robot_kinematics="unicycle"),
         policy=PolicyConfig(
             name="model_predictive_rl",
+            # canonicalize: goal-frame input symmetry reduction — decisive
+            # under unicycle, where the raw-coordinate nets must learn the
+            # heading dimension (r3: 0.68 raw vs holonomic-parity goal)
             mprl=MPRLConfig(planning_depth=2, planning_width=2,
-                            do_action_clip=True)))
+                            do_action_clip=True, canonicalize=True)))

@@ -124,6 +124,13 @@ class MPRLConfig:
     linear_state_predictor: bool = False
     motion_predictor_dims: Tuple[int, ...] = (64, 5)
     value_network_dims: Tuple[int, ...] = (32, 100, 100, 1)
+    # Canonicalize network inputs into the goal frame (origin at robot,
+    # x-axis at the goal) before the RGL nets; predictions rotate back to
+    # world. A pure symmetry reduction (the env is isotropic) — the
+    # reference's CADRL.rotate insight applied to the whole MPRL stack;
+    # decisive for unicycle kinematics, where the raw-coordinate nets must
+    # otherwise learn the heading dimension (SURVEY §2.2 rotate).
+    canonicalize: bool = False
 
 
 @dataclass(frozen=True)

@@ -43,13 +43,25 @@ class MPRLNetworks(nn.Module):
             self.human_motion_predictor = MLP(
                 mprl.motion_predictor_dims, name="human_motion_predictor")
 
+    def _canon(self, robot: Array, humans: Array):
+        """Optional goal-frame canonicalization of net inputs (symmetry
+        reduction; ``MPRLConfig.canonicalize``)."""
+        if not self.cfg.mprl.canonicalize:
+            return robot, humans, None
+        from relationalgraphlearning_tpu.policies.state_transform import (
+            canonicalize_scene)
+
+        return canonicalize_scene(robot, humans)
+
     def value(self, robot: Array, humans: Array) -> Array:
-        H, _ = self.value_graph_model(robot, humans)
+        robot_c, humans_c, _ = self._canon(robot, humans)
+        H, _ = self.value_graph_model(robot_c, humans_c)
         return self.value_head(H[..., 0, :])[..., 0]
 
     def attention(self, robot: Array, humans: Array) -> Array:
         """Relation matrix of the value graph model, for visualization."""
-        _, A = self.value_graph_model(robot, humans)
+        robot_c, humans_c, _ = self._canon(robot, humans)
+        _, A = self.value_graph_model(robot_c, humans_c)
         return A
 
     def next_state(self, robot: Array, humans: Array, action: Array
@@ -59,8 +71,14 @@ class MPRLNetworks(nn.Module):
         if self.cfg.mprl.linear_state_predictor:
             next_humans = propagate_humans_linear(humans, self.time_step)
         else:
-            H, _ = self._pred_graph(robot, humans)
+            robot_c, humans_c, rot = self._canon(robot, humans)
+            H, _ = self._pred_graph(robot_c, humans_c)
             next_humans = self.human_motion_predictor(H[..., 1:, :])
+            if rot is not None:
+                from relationalgraphlearning_tpu.policies.state_transform \
+                    import decanonicalize_humans
+
+                next_humans = decanonicalize_humans(next_humans, robot, rot)
         return next_robot, next_humans
 
     def __call__(self, robot: Array, humans: Array, action: Array):

@@ -114,3 +114,71 @@ def build_occupancy_maps(humans: Array, cell_num: int, cell_size: float,
     maps = jnp.stack([occupancy, sum_vx / denom, sum_vy / denom], axis=-1)
     # interleave per cell: [c0_occ, c0_vx, c0_vy, c1_occ, ...]
     return maps.reshape(maps.shape[:-2] + (num_cells * 3,))
+
+
+def canonicalize_scene(robot: Array, humans: Array):
+    """Rigid-transform the whole scene into the goal frame: origin at the
+    robot, x-axis pointing at the goal.
+
+    The crowd environment is isotropic (no global landmarks), so value and
+    human-motion prediction are invariant/covariant under rigid transforms;
+    canonicalizing removes two symmetry dimensions the raw-coordinate MPRL
+    nets otherwise have to learn — decisive for unicycle robots, whose
+    heading varies at decision time (r3: raw-input MPRL plateaus at ~0.68
+    success under unicycle vs 0.98 holonomic). State layouts are unchanged
+    (FullState[9] / ObservableState[5]), so the same RGL nets consume them.
+
+    Returns (robot_c, humans_c, rot) with rot the world->canonical rotation
+    angle (needed by ``decanonicalize_humans``).
+    """
+    px, py = robot[..., T.PX], robot[..., T.PY]
+    dx = robot[..., T.GX] - px
+    dy = robot[..., T.GY] - py
+    dg = jnp.sqrt(dx * dx + dy * dy)
+    rot = jnp.where(dg > 1e-6, jnp.arctan2(dy, dx), 0.0)
+    cos_r, sin_r = jnp.cos(rot), jnp.sin(rot)
+
+    def _rotv(vx, vy, c, s):
+        return vx * c + vy * s, vy * c - vx * s
+
+    rvx, rvy = _rotv(robot[..., T.VX], robot[..., T.VY], cos_r, sin_r)
+    theta = robot[..., T.THETA] - rot
+    theta = jnp.arctan2(jnp.sin(theta), jnp.cos(theta))
+    robot_c = robot
+    robot_c = robot_c.at[..., T.PX].set(0.0)
+    robot_c = robot_c.at[..., T.PY].set(0.0)
+    robot_c = robot_c.at[..., T.VX].set(rvx)
+    robot_c = robot_c.at[..., T.VY].set(rvy)
+    robot_c = robot_c.at[..., T.GX].set(dg)
+    robot_c = robot_c.at[..., T.GY].set(0.0)
+    robot_c = robot_c.at[..., T.THETA].set(theta)
+
+    cn, sn = cos_r[..., None], sin_r[..., None]
+    hpx, hpy = _rotv(humans[..., T.PX] - px[..., None],
+                     humans[..., T.PY] - py[..., None], cn, sn)
+    hvx, hvy = _rotv(humans[..., T.VX], humans[..., T.VY], cn, sn)
+    humans_c = humans
+    humans_c = humans_c.at[..., T.PX].set(hpx)
+    humans_c = humans_c.at[..., T.PY].set(hpy)
+    humans_c = humans_c.at[..., T.VX].set(hvx)
+    humans_c = humans_c.at[..., T.VY].set(hvy)
+    return robot_c, humans_c, rot
+
+
+def decanonicalize_humans(humans_c: Array, robot: Array,
+                          rot: Array) -> Array:
+    """Map canonical-frame human observable states back to world frame
+    (inverse of ``canonicalize_scene`` for the predictor's outputs)."""
+    cos_r, sin_r = jnp.cos(rot)[..., None], jnp.sin(rot)[..., None]
+
+    def _inv(vx, vy):
+        return vx * cos_r - vy * sin_r, vy * cos_r + vx * sin_r
+
+    hpx, hpy = _inv(humans_c[..., T.PX], humans_c[..., T.PY])
+    hvx, hvy = _inv(humans_c[..., T.VX], humans_c[..., T.VY])
+    out = humans_c
+    out = out.at[..., T.PX].set(hpx + robot[..., None, T.PX])
+    out = out.at[..., T.PY].set(hpy + robot[..., None, T.PY])
+    out = out.at[..., T.VX].set(hvx)
+    out = out.at[..., T.VY].set(hvy)
+    return out

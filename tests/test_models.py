@@ -193,3 +193,61 @@ def test_cadrl_multi_human_min_reduction():
         [net.apply(params, rows5[:, i:i + 1, :]) for i in range(5)], axis=-1)
     np.testing.assert_allclose(
         np.asarray(v5), np.asarray(jnp.min(per_human, -1)), rtol=1e-6)
+
+
+def test_mprl_canonicalize_invariance():
+    """canonicalize=True makes value() exactly invariant and next_state()
+    exactly covariant under rigid transforms of the scene (the env is
+    isotropic, so this is a pure symmetry reduction)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from relationalgraphlearning_tpu import types as T
+    from relationalgraphlearning_tpu.configs.base import (
+        MPRLConfig, PolicyConfig)
+    from relationalgraphlearning_tpu.models.mprl_networks import MPRLNetworks
+
+    cfg = PolicyConfig(mprl=MPRLConfig(canonicalize=True))
+    net = MPRLNetworks(cfg, kinematics=T.UNICYCLE)
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    robot = jax.random.normal(k[0], (9,))
+    robot = robot.at[T.VPREF].set(1.0).at[T.RADIUS].set(0.3)
+    humans = jax.random.normal(k[1], (5, 5))
+    action = jnp.asarray([0.7, 0.2])
+    params = net.init(k[2], robot, humans, action)
+
+    phi, tx, ty = 1.1, 3.0, -2.0
+    c, s = np.cos(phi), np.sin(phi)
+
+    def rigid_robot(r):
+        out = r
+        for ix, iy in ((T.PX, T.PY), (T.VX, T.VY), (T.GX, T.GY)):
+            x, y = r[..., ix], r[..., iy]
+            out = out.at[..., ix].set(c * x - s * y + (tx if ix in (T.PX, T.GX) else 0.0))
+            out = out.at[..., iy].set(s * x + c * y + (ty if iy in (T.PY, T.GY) else 0.0))
+        return out.at[..., T.THETA].set(r[..., T.THETA] + phi)
+
+    def rigid_humans(h):
+        out = h
+        x, y = h[..., T.PX], h[..., T.PY]
+        out = out.at[..., T.PX].set(c * x - s * y + tx)
+        out = out.at[..., T.PY].set(s * x + c * y + ty)
+        vx, vy = h[..., T.VX], h[..., T.VY]
+        out = out.at[..., T.VX].set(c * vx - s * vy)
+        out = out.at[..., T.VY].set(s * vx + c * vy)
+        return out
+
+    v1 = net.apply(params, robot, humans, method=net.value)
+    v2 = net.apply(params, rigid_robot(robot), rigid_humans(humans),
+                   method=net.value)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+
+    _, nh1 = net.apply(params, robot, humans, action,
+                       method=net.next_state)
+    _, nh2 = net.apply(params, rigid_robot(robot), rigid_humans(humans),
+                       action, method=net.next_state)
+    np.testing.assert_allclose(np.asarray(rigid_humans(nh1)),
+                               np.asarray(nh2), atol=1e-4)
