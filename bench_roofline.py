@@ -8,12 +8,13 @@ Measures on the attached chip:
   3. optional Pallas path when the Mosaic gate is open.
 
 Speed-of-light argument: at K=16 neighbors the SDDMM/SpMM einsums are
-batched length-d matvecs — too small to tile onto the 128×128 MXU, so their
-ceiling is the VPU, not the MXU. flops/edge = 2·(d + dv) (+ ~6 softmax VPU
-ops); the chain is VPU-compute-bound once node tables are VMEM-resident
-(n·d·4B ≈ 2 MB at n=8192 — XLA keeps them on-chip, which is why measured
-bytes/edge is far below HBM cost). MFU below is therefore reported against
-the measured VPU ceiling, plus the MXU ratio for reference.
+batched length-d matvecs — too small to tile onto the 128×128 MXU, so the
+gather path's best case is VPU/HBM-bound. Measured (r3, fetch-synced): the
+XLA gather chain lands at ~40% of even the HBM-roundtrip bound (gathered
+rows ride HBM through the gather machinery; nothing stays VMEM-resident),
+far under the VPU ceiling — which is why the windowed dense MXU path
+(ops/block_graph.py) exists: same math, dense per-block matmuls, measured
+~3× the gather chain at bench shapes.
 
 Prints one JSON line per measurement; writes docs/ROOFLINE.json.
 """
@@ -61,18 +62,23 @@ def mxu_peak(dtype, m=4096, inner=16):
     return 2 * m * m * m * inner / dt
 
 
-def vpu_peak(n=4096 * 2048, inner=64):
+def vpu_peak(n=1024 * 1024, inner=64, fmas=128):
+    """``fmas`` chained FMAs per element per pass amortize HBM traffic
+    (32 flops/byte at 128 — comfortably compute-bound), so this measures
+    the VPU, not bandwidth (the r3 first cut at 1 FMA/pass measured HBM)."""
     x = jnp.ones((n,), jnp.float32)
 
     @jax.jit
     def f(x):
         def body(x, _):
-            return x * 1.0000001 + 1e-9, None  # 1 FMA = 2 flops/elem
+            for _ in range(fmas):
+                x = x * 1.0000001 + 1e-9  # 1 FMA = 2 flops/elem
+            return x, None
         x, _ = jax.lax.scan(body, x, None, inner)
         return x
 
     dt = _med_time(f, x, reps=3)
-    return 2 * n * inner / dt
+    return 2 * fmas * n * inner / dt
 
 
 def hbm_bw(mb=512, inner=8):
