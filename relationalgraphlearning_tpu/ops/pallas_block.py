@@ -1,0 +1,101 @@
+"""Pallas fused kernel for windowed dense block attention.
+
+The XLA block path (ops/block_graph.py) materializes the [nb, B, C] score
+and attention tensors in HBM between the two matmuls — at the bench shapes
+(B=256, C=640) that round-trips ~5× more bytes than the model data itself
+and leaves the chain HBM-bound at ~10% of the MXU (measured r3,
+tools/probe_block_chain.py). This kernel fuses the whole per-block chain —
+
+    scores = q_blk · candᵀ   (MXU)
+    masked row-softmax        (VPU)
+    out    = attn · cand_v    (MXU)
+
+— in VMEM: one grid step per node block, score tile never leaves the chip.
+Everything the kernel touches is dense and statically shaped; the candidate
+gather happens OUTSIDE in XLA (one [nb, C, d] gather per layer). That is
+what makes this kernel expressible where the per-edge gather kernel
+(ops/pallas_graph.py) is not: Mosaic on this image cannot lower
+cross-vreg ``dynamic_gather``, and here there is nothing to gather.
+
+VMEM budget per grid step at B=256, C=640, d=64 (f32): q 64 KB + x/v
+160 KB each + mask 640 KB (f32 0/1) + scores scratch 640 KB + out 64 KB —
+≈1.7 MB of the 16 MB/core.
+
+Parity: same masked-softmax aggregation semantics as
+``block_graph.block_attention`` (equality tested in
+tests/test_pallas_block.py, interpret mode and compiled).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _kernel(q_ref, x_ref, v_ref, m_ref, o_ref):
+    q = q_ref[0]  # [B, dq]
+    x = x_ref[0]  # [C, dq]
+    v = v_ref[0]  # [C, dv]
+    m = m_ref[0]  # [B, C] float 0/1
+    scores = jax.lax.dot_general(
+        q, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [B, C]
+    scores = jnp.where(m > 0, scores, _NEG)
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - smax) * (m > 0)
+    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+    attn = (e / denom).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        attn, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_block_attention(qb: Array, xg: Array, vg: Array, emask: Array,
+                          interpret: bool = False) -> Array:
+    """qb [nb, B, dq], xg [nb, C, dq], vg [nb, C, dv], emask [nb, B, C]
+    (bool or 0/1) → out [nb, B, dv]; per-block masked-softmax attention
+    with the score tile resident in VMEM."""
+    nb, B, dq = qb.shape
+    C = xg.shape[1]
+    dv = vg.shape[2]
+    m = emask.astype(jnp.float32)
+    return pl.pallas_call(
+        _kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, B, dq), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, dq), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, dv), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, dv), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, B, dv), qb.dtype),
+        interpret=interpret,
+    )(qb, xg, vg, m)
+
+
+def block_attention_pallas(q: Array, x: Array, v: Array, cand: Array,
+                           emask: Array, interpret: bool = False) -> Array:
+    """Drop-in for ``block_graph.block_attention`` with precomputed
+    ``emask``: gathers candidates in XLA, runs the fused kernel."""
+    n, dq = q.shape
+    nb, C = cand.shape
+    B = n // nb
+    candc = jnp.clip(cand, 0, n - 1)
+    out = fused_block_attention(
+        q.reshape(nb, B, dq), x[candc], v[candc], emask,
+        interpret=interpret)
+    return out.reshape(n, -1)

@@ -1,0 +1,50 @@
+"""Pallas fused block attention == XLA block path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from relationalgraphlearning_tpu.ops import block_graph, pallas_block, sparse
+
+
+def _setup(n=1024, K=8, B=128, C=256, dq=32, dv=48, seed=0):
+    pos = jax.random.uniform(jax.random.PRNGKey(seed), (n, 2)) * 30
+    pos = pos[block_graph.spatial_sort(pos)]
+    cols = sparse.knn_graph(pos, K)
+    cand, cov = block_graph.block_window(cols, B, C)
+    emask = block_graph.block_masks(cols, cand)
+    ks = jax.random.split(jax.random.PRNGKey(seed + 1), 3)
+    q = jax.random.normal(ks[0], (n, dq))
+    x = jax.random.normal(ks[1], (n, dq))
+    v = jax.random.normal(ks[2], (n, dv))
+    return q, x, v, cols, cand, emask, float(cov)
+
+
+def test_fused_matches_xla_block_path():
+    q, x, v, cols, cand, emask, cov = _setup()
+    assert cov == 1.0
+    got = pallas_block.block_attention_pallas(q, x, v, cand, emask,
+                                              interpret=True)
+    want = block_graph.block_attention(q, x, v, cols, cand, emask=emask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_matches_gather_path_end_to_end():
+    q, x, v, cols, cand, emask, cov = _setup(seed=3, C=384)
+    assert cov == 1.0
+    got = pallas_block.block_attention_pallas(q, x, v, cand, emask,
+                                              interpret=True)
+    want = sparse.spmm_fixed_k(
+        sparse.neighbor_softmax(sparse.sddmm_fixed_k(q, x, cols)), v, cols)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_zeroes_fully_masked_rows():
+    q, x, v, cols, cand, emask, _ = _setup(seed=5)
+    emask = emask.at[0, 0, :].set(False)  # row with no edges
+    out = pallas_block.block_attention_pallas(q, x, v, cand, emask,
+                                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), 0.0, atol=1e-6)
