@@ -212,6 +212,41 @@ def main():
             "coverage": float(cov),
         }))
 
+    # Pallas fused block kernel (ops/pallas_block.py): same chain, score
+    # tiles resident in VMEM. try/except: if Mosaic rejects it on this
+    # image, the roofline records the XLA rows and moves on.
+    try:
+        from relationalgraphlearning_tpu.ops import pallas_block
+
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        pos = jax.random.uniform(ks[1], (n, 2)) * 100
+        pos = pos[block_graph.spatial_sort(pos)]
+        cols = _sp.knn_graph(pos, K)
+        cand, cov = block_graph.block_window(cols, B, C)
+        emask = block_graph.block_masks(cols, cand)
+        h0 = jax.random.normal(ks[0], (n, d))
+
+        @jax.jit
+        def fp(h, cand, emask):
+            def body(h, _):
+                out = pallas_block.block_attention_pallas(h, h, h, cand,
+                                                          emask)
+                return out / jnp.maximum(
+                    jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6), None
+
+            h, _ = jax.lax.scan(body, h, None, 100)
+            return h
+
+        dt = _med_time(fp, h0, cand, emask, reps=3)
+        e = n * K * 100 / dt
+        res["block_pallas_gedges_s"] = round(e / 1e9, 2)
+        print(json.dumps({"metric": "graph chain (pallas fused block)",
+                          "gedges_per_s": res["block_pallas_gedges_s"]}))
+    except Exception as err:  # Mosaic lowering failure — record and move on
+        res["block_pallas_error"] = f"{type(err).__name__}: {err}"[:200]
+        print(json.dumps({"metric": "graph chain (pallas fused block)",
+                          "error": res["block_pallas_error"]}))
+
     from relationalgraphlearning_tpu.ops import pallas_graph
     if pallas_graph._MOSAIC_GATHER_OK:
         e = graph_chain(n=n, K=K, d=d, use_pallas=True)
