@@ -12,8 +12,9 @@ def get_config() -> Config:
         env=EnvConfig(robot_kinematics="unicycle"),
         policy=PolicyConfig(
             name="model_predictive_rl",
-            # canonicalize: goal-frame input symmetry reduction — decisive
-            # under unicycle, where the raw-coordinate nets must learn the
-            # heading dimension (r3: 0.68 raw vs holonomic-parity goal)
+            # canonicalize=True was tried in r3 and made things WORSE
+            # (IL val 0.38 vs 0.50 raw; RL collapsed to 0.00) — the
+            # capability stays (invariance-tested, models/mprl_networks.py)
+            # but the benchmark row trains on raw coordinates.
             mprl=MPRLConfig(planning_depth=2, planning_width=2,
-                            do_action_clip=True, canonicalize=True)))
+                            do_action_clip=True)))
