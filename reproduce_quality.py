@@ -42,6 +42,11 @@ RUNS = [
      "configs/icra_benchmark/mp_unicycle.py", []),
     ("sarl_om", "sarl", "configs/icra_benchmark/sarl_om.py", []),
     ("mp_w4", "model_predictive_rl", "configs/icra_benchmark/mp_w4.py", []),
+    # mp_w4 trained with --evaluation_interval 250 (denser best-on-val
+    # selection), seed 2 — the r3 quality-band run (train:
+    # tools/round3_chip_pipeline3.sh)
+    ("mprl_fine", "model_predictive_rl", "configs/icra_benchmark/mp_w4.py",
+     []),
 ]
 
 # Rows whose canonical record is a COMMITTED run under results/ (the round-2
