@@ -47,6 +47,10 @@ RUNS = [
     # tools/round3_chip_pipeline3.sh)
     ("mprl_fine", "model_predictive_rl", "configs/icra_benchmark/mp_w4.py",
      []),
+    # mp_w4 + RL lr 5e-4 + eval cadence 250, seed 3 (best success/collision
+    # pair of the r3 sweep; train: tools/round3_chip_pipeline7.sh)
+    ("mprl_band", "model_predictive_rl", "configs/icra_benchmark/mp_w4.py",
+     []),
 ]
 
 # Rows whose canonical record is a COMMITTED run under results/ (the round-2
