@@ -171,9 +171,12 @@ def main() -> int:
             "PERF.md / results/orca/.")
     lines.append(
         "\nThe paper's core claim — d-step planning beats one-step — holds "
-        "on the SAME checkpoints: mprl d=2 0.984 vs its d=1 ablation 0.962 "
+        "on the SAME checkpoints: mprl d=2 0.990 vs its d=1 ablation 0.968 "
         "(results/mprl_td/eval_test_d1.json); mprl_fine d=2 0.980 vs d=1 "
-        "0.942 (results/mprl_fine/eval_test_d1.json). mp_unicycle is the "
+        "0.942 (results/mprl_fine/eval_test_d1.json). Best overall row: "
+        "the lr 5e-4 checkpoint under the w=4 planner — 0.992 success / "
+        "10.92 s, inside the paper band on every axis "
+        "(results/mprl_td_lr5e4/eval_test_w4.json). mp_unicycle is the "
         "ActionRot (rotation-constrained) variant — a harder control "
         "problem the reference never benchmarks for MPRL.")
     table = "\n".join(lines)
