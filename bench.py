@@ -106,6 +106,7 @@ def main():
 
     decisions, latency = bench_extra.planning_throughput()
     edges = bench_extra.edges_throughput()
+    edges_block, block_cov = bench_extra.edges_throughput_block()
     print(json.dumps({
         "metric": "env-steps/s",
         "value": round(tpu, 1),
@@ -120,6 +121,8 @@ def main():
             "planning_decisions_per_s_d2": round(decisions, 1),
             "planning_latency_ms": round(latency * 1e3, 3),
             "relation_gedges_per_s": round(edges / 1e9, 2),
+            "relation_gedges_per_s_block": round(edges_block / 1e9, 2),
+            "block_coverage": block_cov,
         },
     }))
 

@@ -95,3 +95,11 @@ def test_sparse_value_net_block_backend_matches_gather():
     got = net_b.apply(params, states, cols, block_cand=cand)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_force_sync_returns_scalar():
+    """utils.sync.force blocks on and returns an element of any pytree."""
+    from relationalgraphlearning_tpu.utils.sync import force
+
+    out = {"a": jnp.arange(6.0).reshape(2, 3)}
+    assert force(out) == 0.0
