@@ -39,6 +39,33 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
+# ------------------------------------------------------------- packed mask v2
+def pack_emask(emask: Array) -> Array:
+    """Bitpack a [nb, B, C] bool edge mask along rows → [nb, B//32, C] uint32.
+
+    Row ``w*32 + b`` of block n lands in bit ``b`` of word ``[n, w, :]``.
+    Packing along the ROW (sublane) axis keeps the lane axis (C) intact, so
+    the in-kernel unpack is a broadcasted shift + a leading-dims reshape —
+    both layout-preserving on Mosaic (row-major [B//32, 32, C] IS [B, C]).
+    32× less mask HBM traffic than the f32 mask the r3 kernel streamed
+    (measured there: the mask was the largest tensor in the chain —
+    docs/ROOFLINE.json, VERDICT r3 weak #1).
+    """
+    nb, B, C = emask.shape
+    assert B % 32 == 0, B
+    m = emask.reshape(nb, B // 32, 32, C).astype(jnp.uint32)
+    bits = m << jnp.arange(32, dtype=jnp.uint32)[None, None, :, None]
+    # bits are disjoint powers of two → sum == bitwise or, exactly
+    return bits.sum(axis=2, dtype=jnp.uint32)
+
+
+def _unpack_bits(bits: Array, B: int) -> Array:
+    """[B//32, C] uint32 → [B, C] bool (row w*32+b ← bit b of word w)."""
+    C = bits.shape[-1]
+    shift = jax.lax.broadcasted_iota(jnp.uint32, (B // 32, 32, C), 1)
+    return ((bits[:, None, :] >> shift) & 1).reshape(B, C) > 0
+
+
 def _kernel(q_ref, x_ref, v_ref, m_ref, o_ref):
     q = q_ref[0]  # [B, dq]
     x = x_ref[0]  # [C, dq]
@@ -87,15 +114,77 @@ def fused_block_attention(qb: Array, xg: Array, vg: Array, emask: Array,
     )(qb, xg, vg, m)
 
 
+def _kernel_packed(q_ref, x_ref, v_ref, m_ref, o_ref):
+    q = q_ref[0]      # [B, dq]
+    x = x_ref[0]      # [C, dq]
+    v = v_ref[0]      # [C, dv]
+    B = q.shape[0]
+    mask = _unpack_bits(m_ref[0], B)  # [B, C] bool, ~B·C VPU ops
+    scores = jax.lax.dot_general(
+        q, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [B, C] f32
+    scores = jnp.where(mask, scores, _NEG)
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.where(mask, jnp.exp(scores - smax), 0.0)
+    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+    attn = (e / denom).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        attn, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_block_attention_packed(qb: Array, xg: Array, vg: Array,
+                                 mbits: Array,
+                                 interpret: bool = False) -> Array:
+    """v2 kernel: qb [nb, B, dq], xg [nb, C, dq], vg [nb, C, dv],
+    mbits [nb, B//32, C] uint32 from ``pack_emask`` → out [nb, B, dv].
+
+    Same masked-softmax semantics as ``fused_block_attention``, but the edge
+    mask arrives bitpacked (32× less HBM than the r3 f32 mask — the mask was
+    the largest streamed tensor at the bench shapes) and is expanded on the
+    VPU inside VMEM. Feature dtype is free: pass bf16 qb/xg/vg for the
+    bandwidth-optimal configuration; accumulation stays f32 on the MXU.
+    """
+    nb, B, dq = qb.shape
+    C = xg.shape[1]
+    dv = vg.shape[2]
+    assert mbits.shape == (nb, B // 32, C), (mbits.shape, (nb, B, C))
+    return pl.pallas_call(
+        _kernel_packed,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, B, dq), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, dq), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, dv), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B // 32, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, dv), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, B, dv), qb.dtype),
+        interpret=interpret,
+    )(qb, xg, vg, mbits)
+
+
 def block_attention_pallas(q: Array, x: Array, v: Array, cand: Array,
                            emask: Array, interpret: bool = False) -> Array:
     """Drop-in for ``block_graph.block_attention`` with precomputed
-    ``emask``: gathers candidates in XLA, runs the fused kernel."""
+    ``emask``: gathers candidates in XLA, runs the fused kernel.
+
+    ``emask`` may be the [nb, B, C] bool mask (packed here per call — fine
+    for one-shot use) or the graph-static [nb, B//32, C] uint32 from
+    ``pack_emask`` (pack once, reuse across layers/steps — the fast path).
+    """
     n, dq = q.shape
     nb, C = cand.shape
     B = n // nb
+    mbits = emask if emask.dtype == jnp.uint32 else pack_emask(emask)
     candc = jnp.clip(cand, 0, n - 1)
-    out = fused_block_attention(
-        q.reshape(nb, B, dq), x[candc], v[candc], emask,
+    out = fused_block_attention_packed(
+        q.reshape(nb, B, dq), x[candc], v[candc], mbits,
         interpret=interpret)
     return out.reshape(n, -1)

@@ -42,6 +42,39 @@ def test_fused_matches_gather_path_end_to_end():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pack_emask_roundtrip():
+    _, _, _, _, _, emask, _ = _setup(seed=7)
+    bits = pallas_block.pack_emask(emask)
+    nb, B, C = emask.shape
+    assert bits.shape == (nb, B // 32, C) and bits.dtype == jnp.uint32
+    unpacked = jax.vmap(lambda b: pallas_block._unpack_bits(b, B))(bits)
+    np.testing.assert_array_equal(np.asarray(unpacked), np.asarray(emask))
+
+
+def test_packed_kernel_matches_xla_block_path():
+    q, x, v, cols, cand, emask, cov = _setup(seed=9, C=384)
+    assert cov == 1.0
+    bits = pallas_block.pack_emask(emask)
+    got = pallas_block.block_attention_pallas(q, x, v, cand, bits,
+                                              interpret=True)
+    want = block_graph.block_attention(q, x, v, cols, cand, emask=emask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_packed_kernel_bf16():
+    q, x, v, cols, cand, emask, cov = _setup(seed=11, C=384)
+    assert cov == 1.0
+    bits = pallas_block.pack_emask(emask)
+    bf = jnp.bfloat16
+    got = pallas_block.block_attention_pallas(
+        q.astype(bf), x.astype(bf), v.astype(bf), cand, bits, interpret=True)
+    assert got.dtype == bf
+    want = block_graph.block_attention(q, x, v, cols, cand, emask=emask)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0.05, atol=0.05)
+
+
 def test_fused_zeroes_fully_masked_rows():
     q, x, v, cols, cand, emask, _ = _setup(seed=5)
     emask = emask.at[0, 0, :].set(False)  # row with no edges

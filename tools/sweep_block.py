@@ -1,0 +1,129 @@
+"""Block-path configuration sweep (VERDICT r3 next-round #1).
+
+Measures the loop-carried SDDMM→softmax→SpMM chain (the bench_extra
+protocol: q = x = v = previous output, nothing hoistable) through the
+windowed dense block path at a grid of (backend, dtype, B, C):
+
+- backend "xla"    — ops/block_graph.block_attention (bool emask streamed);
+- backend "pallas" — ops/pallas_block v2 fused kernel (bitpacked emask,
+  score tile VMEM-resident).
+
+Prints one JSON line per variant: Gedges/s, coverage (1.0 = exact vs the
+gather path), dense flops issued, and the per-iteration HBM-traffic model
+that motivated the sweep (docs/ROOFLINE.json analysis). Run on the chip:
+
+    python tools/sweep_block.py [--quick]
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from relationalgraphlearning_tpu.utils import compile_cache
+from relationalgraphlearning_tpu.utils.sync import force
+
+compile_cache.enable()
+
+
+def _med_time(fn, *args, reps=3, trials=3):
+    import statistics
+
+    out = fn(*args)
+    force(out)
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        force(out)
+        ts.append((time.perf_counter() - t0) / reps)
+    return statistics.median(ts)
+
+
+def build_graph(n, K, B, C, seed=0):
+    from relationalgraphlearning_tpu.ops import block_graph, sparse
+
+    ks = jax.random.split(jax.random.PRNGKey(seed), 2)
+    pos = jax.random.uniform(ks[1], (n, 2)) * 100
+    pos = pos[block_graph.spatial_sort(pos)]
+    cols = sparse.knn_graph(pos, K)
+    cand, cov = block_graph.block_window(cols, B, C)
+    emask = block_graph.block_masks(cols, cand)
+    h0 = jax.random.normal(ks[0], (n, 64))
+    return h0, cols, cand, emask, float(cov)
+
+
+def run_variant(backend, dtype, B, C, n=8192, K=16, inner=100):
+    from relationalgraphlearning_tpu.ops import block_graph, pallas_block
+
+    h0, cols, cand, emask, cov = build_graph(n, K, B, C)
+    h0 = h0.astype(dtype)
+    mb = pallas_block.pack_emask(emask)
+
+    if backend == "xla":
+
+        @jax.jit
+        def f(h, cols, cand, emask):
+            def body(h, _):
+                out = block_graph.block_attention(h, h, h, cols, cand,
+                                                  emask=emask)
+                out = out / jnp.maximum(
+                    jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6)
+                return out.astype(dtype), None
+
+            h, _ = jax.lax.scan(body, h, None, inner)
+            return h
+
+        dt = _med_time(f, h0, cols, cand, emask)
+    else:
+
+        @jax.jit
+        def f(h, cand, mb):
+            def body(h, _):
+                out = pallas_block.block_attention_pallas(h, h, h, cand, mb)
+                out = out / jnp.maximum(
+                    jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6)
+                return out.astype(dtype), None
+
+            h, _ = jax.lax.scan(body, h, None, inner)
+            return h
+
+        dt = _med_time(f, h0, cand, mb)
+    return n * K * inner / dt, cov
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="one shape only (compile probe)")
+    ap.add_argument("--n", type=int, default=8192)
+    args = ap.parse_args()
+
+    shapes = [(256, 512), (256, 640), (512, 1024), (512, 1280)]
+    if args.quick:
+        shapes = [(256, 640)]
+    results = []
+    for backend in ("pallas", "xla"):
+        for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+            for B, C in shapes:
+                try:
+                    e, cov = run_variant(backend, dtype, B, C, n=args.n)
+                    rec = {"backend": backend, "dtype": tag, "B": B, "C": C,
+                           "gedges_per_s": round(e / 1e9, 3),
+                           "coverage": round(cov, 5)}
+                except Exception as err:
+                    rec = {"backend": backend, "dtype": tag, "B": B, "C": C,
+                           "error": f"{type(err).__name__}: {err}"[:300]}
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+    best = max((r for r in results if "gedges_per_s" in r
+                and r.get("coverage", 0) == 1.0),
+               key=lambda r: r["gedges_per_s"], default=None)
+    print(json.dumps({"best": best}))
+
+
+if __name__ == "__main__":
+    main()
