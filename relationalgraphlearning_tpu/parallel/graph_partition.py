@@ -117,6 +117,139 @@ def allgather_neighbor_attention(q: Array, x: Array, v: Array, cols: Array,
     return sparse.spmm_fixed_k(attn, v_all, cols)
 
 
+# ------------------------------------------------- block (windowed MXU) path
+def halo_exchange(x: Array, axis_name: str, halo: int) -> Array:
+    """[n_loc, ...] per-shard rows → [n_loc + 2·halo, ...] with the previous
+    shard's tail and the next shard's head appended (two ``ppermute``s over
+    the ICI ring — O(halo·d) bytes, not O(n·d) like all_gather).
+
+    The ring wraps at the ends (shard 0 receives shard D−1's tail); callers
+    mask out-of-range candidates, so wrapped rows are never read.
+    """
+    D = jax.lax.psum(1, axis_name)
+    fwd = [(i, (i + 1) % D) for i in range(D)]
+    bwd = [(i, (i - 1) % D) for i in range(D)]
+    left = jax.lax.ppermute(x[-halo:], axis_name, fwd)    # from shard me-1
+    right = jax.lax.ppermute(x[:halo], axis_name, bwd)    # from shard me+1
+    return jnp.concatenate([left, x, right], axis=0)
+
+
+def halo_reach(cand: Array, B: int, n_loc: int) -> int:
+    """Max distance any block's candidate reaches outside its shard's row
+    range — the minimum exact halo. ``cand`` [nb, C] global ids (sentinel
+    = n for empty slots), B rows per block, n_loc rows per shard."""
+    import numpy as np
+
+    cnp = np.asarray(cand)
+    nb, C = cnp.shape
+    n = nb * B
+    shard = (np.arange(nb) * B) // n_loc
+    start = shard * n_loc
+    end = start + n_loc
+    real = cnp < n  # sentinel slots don't constrain the halo
+    lo = np.where(real, start[:, None] - cnp, 0).max(initial=0)
+    hi = np.where(real, cnp + 1 - end[:, None], 0).max(initial=0)
+    return int(max(lo, hi, 0))
+
+
+def block_halo_attention(q: Array, x: Array, v: Array, cand: Array,
+                         emask: Array, axis_name: str, halo: int) -> Array:
+    """Inside shard_map: the windowed dense MXU block path on a node-
+    partitioned crowd (VERDICT r3 next-round #2 — the fast backend's
+    multi-chip form).
+
+    Per-shard views: q/x/v [n_loc, d] (this shard's spatially-sorted rows),
+    cand [nb_loc, C] GLOBAL candidate ids for this shard's blocks, emask
+    either [nb_loc, B, C] bool or bitpacked [nb_loc, B//32, C] uint32
+    (``pallas_block.pack_emask``). After one halo exchange every candidate
+    row is local (exact iff ``halo ≥ halo_reach(cand, B, n_loc)`` — spatial
+    sorting bounds candidate reach by the block perimeter, so H ≪ n_loc),
+    and the aggregation is the SAME single-chip kernel on local tiles:
+    bool emask → XLA block math; bitpacked uint32 emask → the fused Pallas
+    kernel (interpret-mode automatically on CPU test meshes).
+    """
+    me = jax.lax.axis_index(axis_name)
+    n_loc, dq = x.shape
+    nb_loc, C = cand.shape
+    B = n_loc // nb_loc
+    start = me * n_loc
+
+    x_ext = halo_exchange(x, axis_name, halo)
+    v_ext = halo_exchange(v, axis_name, halo)
+    local = cand - start + halo                      # [nb_loc, C]
+    ok = (local >= 0) & (local < n_loc + 2 * halo)   # out-of-halo / sentinel
+    localc = jnp.clip(local, 0, n_loc + 2 * halo - 1)
+
+    if emask.dtype == jnp.uint32:
+        from relationalgraphlearning_tpu.ops.pallas_block import (
+            fused_block_attention_packed)
+
+        mbits = emask & jnp.where(ok, jnp.uint32(0xFFFFFFFF),
+                                  jnp.uint32(0))[:, None, :]
+        out = fused_block_attention_packed(
+            q.reshape(nb_loc, B, dq), x_ext[localc], v_ext[localc], mbits,
+            interpret=jax.default_backend() == "cpu")
+        return out.reshape(n_loc, -1)
+
+    m = emask & ok[:, None, :]
+    qb = q.reshape(nb_loc, B, dq)
+    xg = x_ext[localc]
+    vg = v_ext[localc]
+    scores = jnp.einsum("nbd,ncd->nbc", qb, xg,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(m, scores, _NEG)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.where(m, attn, 0.0)
+    out = jnp.einsum("nbc,ncd->nbd", attn.astype(vg.dtype), vg,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(n_loc, -1)
+
+
+def partitioned_block_rgl(params, cfg, states: Array, cand: Array,
+                          emask: Array, mesh: Mesh, halo: int,
+                          axis: str = "data") -> Array:
+    """SparseRGL forward through the block backend with nodes partitioned
+    over ``mesh[axis]`` and halo-exchanged candidate features.
+
+    ``states`` [n, 5] must be spatially sorted (``block_graph.spatial_sort``)
+    and n divisible by D·B; ``cand``/``emask`` from ``block_window`` /
+    ``block_masks`` (optionally ``pack_emask``-packed) on the GLOBAL graph.
+    ``halo`` must be ≥ ``halo_reach(cand, B, n/D)`` and a multiple of 8 for
+    clean tiling; exactness vs the single-device block path is tested in
+    tests/test_parallel.py.
+    """
+    from relationalgraphlearning_tpu.models.sparse_rgl import SparseRGL
+
+    model = SparseRGL(cfg)
+    n = states.shape[0]
+    D = mesh.shape[axis]
+    nb = cand.shape[0]
+    assert n % (D * (n // nb)) == 0 and nb % D == 0, (n, D, nb)
+
+    def forward(params, states, cand, emask):
+        def apply_sub(name, xx):
+            return model.apply(params, xx,
+                               method=lambda m, a: getattr(m, name)(a))
+
+        H = apply_sub("w_h", states)
+        p = params["params"]
+        for li in range(cfg.num_layer):
+            q = apply_sub("w_a", H)
+            v = H @ p[f"gcn_w{li+1}"]["kernel"]
+            out = block_halo_attention(q, H, v, cand, emask, axis, halo)
+            H_next = jax.nn.relu(out)
+            if cfg.skip_connection and H_next.shape == H.shape:
+                H_next = H_next + H
+            H = H_next
+        return H
+
+    row = P(axis)
+    fn = shard_map(forward, mesh=mesh,
+                   in_specs=(P(), row, row, row), out_specs=row,
+                   check_vma=False)
+    return fn(params, states, cand, emask)
+
+
 # ------------------------------------------------------------- full forward
 def partitioned_sparse_rgl(params, cfg, states: Array, cols: Array,
                            mesh: Mesh, mask: Optional[Array] = None,
