@@ -129,14 +129,25 @@ def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=256, C=640):
 
 
 def mega_crowd(n=10240, K=10, steps=16, side=None, backend="gather",
-               block_B=256, block_C=640):
+               block_B=256, block_C=640, rebuild_every=1, packed=False):
     """BASELINE config #5 scale: 10k+-agent synthetic crowd — kNN ORCA step
     + SparseRGL decentralized value inference, one jitted program. Graph
     construction goes through ``knn_graph_auto``: at these sizes the
     spatial-hash grid path replaces the O(n²) distance matrix (the wall at
-    n=10⁵). ``backend='block'`` re-sorts the crowd spatially every step and
-    runs the GNN through the windowed dense MXU path (ops/block_graph.py),
-    the production configuration for 10k+ crowds on TPU."""
+    n=10⁵). ``backend='block'`` runs the GNN through the windowed dense MXU
+    path (ops/block_graph.py; ``packed=True`` additionally bitpacks the
+    edge mask, selecting the fused Pallas kernel), the production
+    configuration for 10k+ crowds on TPU.
+
+    ``rebuild_every=R`` amortizes graph construction (VERDICT r3 #3): the
+    spatial sort, kNN graph, candidate windows and edge masks are rebuilt
+    once per R-step chunk and reused (stale) within it. Agents move ≤
+    v_max·Δt per step, so after R steps neighbor RANKING is off by at most
+    2·v_max·Δt·R = 0.5·R m of relative displacement (~a radius per 2 steps
+    at defaults) while avoidance math still reads current positions;
+    ``knn_overlap`` in the return measures the actual end-of-chunk graph
+    agreement. Returns (agent_steps_per_s, coverage, knn_overlap).
+    """
     from relationalgraphlearning_tpu.configs.base import GCNConfig
     from relationalgraphlearning_tpu.envs.orca import (
         ORCAParams, centralized_orca_step_knn)
@@ -144,6 +155,7 @@ def mega_crowd(n=10240, K=10, steps=16, side=None, backend="gather",
     from relationalgraphlearning_tpu.ops import block_graph
     from relationalgraphlearning_tpu.ops.sparse import knn_graph_auto
 
+    assert steps % rebuild_every == 0, (steps, rebuild_every)
     side = side or 200.0 * (n / 10240.0) ** 0.5  # keep crowd density constant
     rng = jax.random.PRNGKey(0)
     pos = jax.random.uniform(rng, (n, 2), minval=-side, maxval=side)
@@ -152,47 +164,99 @@ def mega_crowd(n=10240, K=10, steps=16, side=None, backend="gather",
     vmax = jnp.ones((n,))
     act = jnp.ones((n,), bool)
     params_orca = ORCAParams()
+    use_block = backend == "block"
 
     net = SparseValueNet(GCNConfig(), backend=backend)
     states0 = jnp.zeros((n, 5))
     cols0 = knn_graph_auto(pos, 16)
-    cand0 = (block_graph.block_window(cols0, block_B, block_C)[0]
-             if backend == "block" else None)
+    if use_block:
+        cand0, _ = block_graph.block_window(cols0, block_B, block_C)
+        em0 = block_graph.block_masks(cols0, cand0)
+        if packed:
+            from relationalgraphlearning_tpu.ops.pallas_block import pack_emask
+            em0 = pack_emask(em0)
+    else:
+        cand0 = em0 = None
     net_params = net.init(jax.random.PRNGKey(1), states0, cols0,
-                          block_cand=cand0)
+                          block_cand=cand0, block_emask=em0)
+
+    def rebuild(pos, other):
+        """Sort the crowd spatially (block backend) and build the graphs the
+        next R steps reuse. ALL per-agent arrays ride the permutation —
+        rad/vmax/act are uniform today, but a heterogeneous crowd must not
+        silently desync (ADVICE r3 #4)."""
+        if use_block:
+            perm = block_graph.spatial_sort(pos)
+            pos = pos[perm]
+            other = jax.tree.map(lambda a: a[perm], other)
+        cols_gnn = knn_graph_auto(pos, 16)
+        cols_orca = knn_graph_auto(pos, K) if K != 16 else cols_gnn
+        if use_block:
+            cand, cov = block_graph.block_window(cols_gnn, block_B, block_C)
+            em = block_graph.block_masks(cols_gnn, cand)
+            if packed:
+                from relationalgraphlearning_tpu.ops.pallas_block import (
+                    pack_emask)
+                em = pack_emask(em)
+        else:
+            cand = jnp.zeros((1,), jnp.int32)  # scan-carry placeholders
+            em = jnp.zeros((1,), jnp.uint32 if packed else bool)
+            cov = jnp.asarray(1.0)
+        return pos, other, cols_gnn, cols_orca, cand, em, cov
 
     @jax.jit
-    def rollout(pos, vel, goals):
-        def body(carry, _):
-            pos, vel, goals = carry
-            to = goals - pos
-            d = jnp.linalg.norm(to, axis=-1, keepdims=True)
-            pref = jnp.where(d > 1e-3, to / jnp.maximum(d, 1e-9), 0.0)
-            new_v = centralized_orca_step_knn(
-                pos, vel, rad, pref, vmax, act, params_orca, K)
-            new_pos = pos + new_v * 0.25
-            if backend == "block":
-                # keep the crowd spatially blocked as it moves
-                perm = block_graph.spatial_sort(new_pos)
-                new_pos, new_v, goals = new_pos[perm], new_v[perm], goals[perm]
-            states = jnp.concatenate([new_pos, new_v, rad[:, None]], -1)
-            cols = knn_graph_auto(new_pos, 16)
-            cand = (block_graph.block_window(cols, block_B, block_C)[0]
-                    if backend == "block" else None)
-            vals = net.apply(net_params, states, cols, block_cand=cand)
-            return (new_pos, new_v, goals), jnp.mean(vals)
-        (pos, vel, goals), vals = jax.lax.scan(
-            body, (pos, vel, goals), None, steps)
-        return pos, vel, vals
+    def rollout(pos, vel, goals, rad, vmax, act):
+        def chunk(carry, _):
+            pos, vel, goals, rad, vmax, act = carry
+            pos, (vel, goals, rad, vmax, act), cols_gnn, cols_orca, cand, \
+                em, cov = rebuild(pos, (vel, goals, rad, vmax, act))
+
+            def body(inner, _):
+                pos, vel, goals = inner
+                to = goals - pos
+                d = jnp.linalg.norm(to, axis=-1, keepdims=True)
+                pref = jnp.where(d > 1e-3, to / jnp.maximum(d, 1e-9), 0.0)
+                new_v = centralized_orca_step_knn(
+                    pos, vel, rad, pref, vmax, act, params_orca, K,
+                    cols=cols_orca)
+                new_pos = pos + new_v * 0.25
+                states = jnp.concatenate([new_pos, new_v, rad[:, None]], -1)
+                vals = net.apply(net_params, states, cols_gnn,
+                                 block_cand=cand if use_block else None,
+                                 block_emask=em if use_block else None)
+                return (new_pos, new_v, goals), jnp.mean(vals)
+
+            (pos, vel, goals), vals = jax.lax.scan(
+                body, (pos, vel, goals), None, rebuild_every)
+            return (pos, vel, goals, rad, vmax, act), (vals, cov)
+
+        carry, (vals, covs) = jax.lax.scan(
+            chunk, (pos, vel, goals, rad, vmax, act), None,
+            steps // rebuild_every)
+        return carry, vals, jnp.min(covs)
 
     vel = jnp.zeros((n, 2))
-    out = rollout(pos, vel, goals)
+    out = rollout(pos, vel, goals, rad, vmax, act)
     force(out)
     t0 = time.perf_counter()
-    out = rollout(pos, vel, goals)
-    force(out)
+    (fpos, fvel, *rest), vals, cov = rollout(pos, vel, goals, rad, vmax, act)
+    force(vals)
     dt = time.perf_counter() - t0
-    return n * steps / dt  # agent-steps/s (ORCA + GNN value per agent-step)
+
+    # staleness diagnostic: march the final crowd one further chunk on a
+    # FROZEN graph, then compare that stale graph against the true kNN of
+    # the moved positions — the worst-case end-of-chunk disagreement.
+    if rebuild_every > 1:
+        fpos = jnp.asarray(fpos)
+        stale_cols = knn_graph_auto(fpos, 16)
+        moved = fpos + jnp.asarray(fvel) * 0.25 * rebuild_every
+        fresh_cols = knn_graph_auto(moved, 16)
+        both = jax.vmap(lambda a, b: jnp.isin(b, a).mean())(
+            stale_cols, fresh_cols)
+        overlap = float(jnp.mean(both))
+    else:
+        overlap = 1.0
+    return n * steps / dt, float(cov), overlap
 
 
 def main():
@@ -207,18 +271,32 @@ def main():
     print(json.dumps({"metric": "relation edges/s (windowed dense MXU path)",
                       "value": round(eb / 1e9, 2), "unit": "Gedges/s",
                       "coverage": cov}))
-    m = mega_crowd()
+    m, _, _ = mega_crowd()
     print(json.dumps({"metric": "10k-agent crowd (kNN ORCA + SparseRGL values)",
                       "value": round(m, 1), "unit": "agent-steps/s"}))
-    mb = mega_crowd(backend="block")
+    mb, cov, _ = mega_crowd(backend="block")
     print(json.dumps({"metric": "10k-agent crowd (block MXU backend)",
-                      "value": round(mb, 1), "unit": "agent-steps/s"}))
-    m100k = mega_crowd(n=102_400)
+                      "value": round(mb, 1), "unit": "agent-steps/s",
+                      "coverage": cov}))
+    ma, cov, ov = mega_crowd(backend="block", packed=True, rebuild_every=8,
+                             steps=32)
+    print(json.dumps({"metric":
+                      "10k-agent crowd (block+pallas, rebuild every 8)",
+                      "value": round(ma, 1), "unit": "agent-steps/s",
+                      "coverage": cov, "knn_overlap": round(ov, 4)}))
+    m100k, _, _ = mega_crowd(n=102_400)
     print(json.dumps({"metric": "100k-agent crowd (grid kNN + ORCA + SparseRGL)",
                       "value": round(m100k, 1), "unit": "agent-steps/s"}))
-    m100kb = mega_crowd(n=102_400, backend="block")
+    m100kb, cov, _ = mega_crowd(n=102_400, backend="block")
     print(json.dumps({"metric": "100k-agent crowd (block MXU backend)",
-                      "value": round(m100kb, 1), "unit": "agent-steps/s"}))
+                      "value": round(m100kb, 1), "unit": "agent-steps/s",
+                      "coverage": cov}))
+    m100ka, cov, ov = mega_crowd(n=102_400, backend="block", packed=True,
+                                 rebuild_every=8, steps=32)
+    print(json.dumps({"metric":
+                      "100k-agent crowd (block+pallas, rebuild every 8)",
+                      "value": round(m100ka, 1), "unit": "agent-steps/s",
+                      "coverage": cov, "knn_overlap": round(ov, 4)}))
 
 
 if __name__ == "__main__":

@@ -280,16 +280,26 @@ def centralized_orca_step_knn(
     positions: Array, velocities: Array, radii: Array,
     pref_vels: Array, max_speeds: Array, active: Array,
     params: ORCAParams, max_neighbors: int = 10,
+    cols: Array | None = None,
 ) -> Array:
     """Large-crowd variant: each agent builds ORCA lines only against its
     ``max_neighbors`` nearest agents (RVO2's ``maxNeighbors=10`` semantics —
     the all-pairs ``centralized_orca_step`` is exact for small crowds but
     O(n²) lines; this is O(n·K), making 10k+-agent synthetic crowds
-    steppable on device)."""
+    steppable on device).
+
+    Pass ``cols`` [n, K] to reuse a precomputed neighbor graph — the
+    amortized-rebuild path for huge crowds, where graph construction
+    dominates the step (PERF.md). A graph R steps stale mis-ranks
+    neighbors by at most 2·v_max·Δt·R of relative displacement; ORCA
+    avoidance itself still uses the CURRENT positions/velocities of the
+    listed neighbors, so the approximation is in neighbor selection only
+    (RVO2's own maxNeighbors cutoff is the same kind of truncation)."""
     from relationalgraphlearning_tpu.ops.sparse import knn_graph_auto
 
-    # exact O(n²) kNN for small crowds, spatial-hash grid above ~10k agents
-    cols = knn_graph_auto(positions, max_neighbors, valid=active)  # [n, K]
+    if cols is None:
+        # exact O(n²) kNN for small crowds, spatial-hash grid above ~10k
+        cols = knn_graph_auto(positions, max_neighbors, valid=active)
 
     def one_agent(i):
         idx = cols[i]

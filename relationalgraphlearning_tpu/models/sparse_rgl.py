@@ -73,8 +73,22 @@ class SparseRGL(nn.Module):
 
             assert block_cand is not None, (
                 "backend='block' needs block_window candidates")
-            out = block_graph.block_attention(q, H, v, cols, block_cand,
-                                              mask=mask, emask=block_emask)
+            if (block_emask is not None
+                    and block_emask.dtype == jnp.uint32):
+                # bitpacked mask selects the fused Pallas kernel — the
+                # fast configuration on TPU (interpret-mode on CPU)
+                import jax
+
+                from relationalgraphlearning_tpu.ops.pallas_block import (
+                    block_attention_pallas)
+
+                out = block_attention_pallas(
+                    q, H, v, block_cand, block_emask,
+                    interpret=jax.default_backend() == "cpu")
+            else:
+                out = block_graph.block_attention(
+                    q, H, v, cols, block_cand, mask=mask,
+                    emask=block_emask)
         else:
             scores = sparse.sddmm_fixed_k(q, H, cols, mask)
             attn = sparse.neighbor_softmax(scores, mask)

@@ -122,6 +122,33 @@ def block_masks(cols: Array, cand: Array,
     return jax.vmap(_m)(colsb, mb, cand)
 
 
+def build_block_graph(positions: Array, k: int, block_size: int,
+                      window: int, pack: bool = False):
+    """Canonical block-graph construction: spatial sort → kNN → candidate
+    windows → edge masks, in one call.
+
+    Returns ``(perm, cols, cand, emask, coverage)``: apply ``perm`` to every
+    per-node array, feed ``cols``/``cand``/``emask`` to the block backend.
+    ``pack=True`` bitpacks the mask (``pallas_block.pack_emask``) selecting
+    the fused Pallas kernel downstream. ``coverage`` (scalar, traced) is the
+    fraction of edges inside their block's window — callers MUST surface it
+    (assert/log == 1.0 on host, or thread it out of jit) rather than drop
+    it: silently non-exact aggregation was ADVICE r3 finding #2.
+    """
+    from relationalgraphlearning_tpu.ops.sparse import knn_graph_auto
+
+    perm = spatial_sort(positions)
+    pos = positions[perm]
+    cols = knn_graph_auto(pos, k)
+    cand, coverage = block_window(cols, block_size, window)
+    emask = block_masks(cols, cand)
+    if pack:
+        from relationalgraphlearning_tpu.ops.pallas_block import pack_emask
+
+        emask = pack_emask(emask)
+    return perm, cols, cand, emask, coverage
+
+
 def block_attention(q: Array, x: Array, v: Array, cols: Array,
                     cand: Array, mask: Optional[Array] = None,
                     emask: Optional[Array] = None) -> Array:
