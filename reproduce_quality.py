@@ -26,42 +26,63 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-# (short name, policy, config path, extra test args)
-# Every row is EVALUATED on the same 5-human 500-case protocol (SURVEY.md
-# §3.5 / paper Table I): CADRL trains single-human (multiagent_training=False
-# parity) but tests with --human_num 5 like the reference's test.py does.
+# Run rows. Every row is EVALUATED on the same 5-human 500-case protocol
+# (SURVEY.md §3.5 / paper Table I): CADRL trains single-human
+# (multiagent_training=False parity) but tests with --human_num 5 like the
+# reference's test.py does. ``train_args`` carry each committed run's full
+# training provenance (seed / eval cadence / lr — ADVICE r3 #1: regeneration
+# must reproduce the committed recipe, not a silently different default);
+# they are appended after the defaults, and argparse takes the last
+# occurrence. ``record`` names the eval JSON when planner/baseline overrides
+# give it a suffix.
 RUNS = [
-    ("orca", "orca", None, []),  # untrained reference baseline (Table I row)
-    ("mprl", "model_predictive_rl", "configs/icra_benchmark/mp_separate.py", []),
-    ("rgl", "rgl", "configs/icra_benchmark/rgl.py", []),
-    ("sarl", "sarl", "configs/icra_benchmark/sarl.py", []),
-    ("lstm_rl", "lstm_rl", "configs/icra_benchmark/lstm_rl.py", []),
-    ("cadrl", "cadrl", "configs/icra_benchmark/cadrl.py",
-     ["--human_num", "5"]),
-    ("mp_unicycle", "model_predictive_rl",
-     "configs/icra_benchmark/mp_unicycle.py", []),
-    ("sarl_om", "sarl", "configs/icra_benchmark/sarl_om.py", []),
-    ("mp_w4", "model_predictive_rl", "configs/icra_benchmark/mp_w4.py", []),
-    # mp_w4 trained with --evaluation_interval 250 (denser best-on-val
-    # selection), seed 2 — the r3 quality-band run (train:
-    # tools/round3_chip_pipeline3.sh)
-    ("mprl_fine", "model_predictive_rl", "configs/icra_benchmark/mp_w4.py",
-     []),
+    # untrained reciprocal-avoidance baseline, BOTH operating points
+    # (paper Table I row reproduces at time_horizon=10 — PERF.md sweep)
+    {"name": "orca", "policy": "orca"},
+    {"name": "orca_th10", "policy": "orca",
+     "test_args": ["--orca_time_horizon", "10"],
+     "record": "eval_test_th10.json"},
+    {"name": "mprl", "policy": "model_predictive_rl",
+     "config": "configs/icra_benchmark/mp_separate.py"},
+    {"name": "rgl", "policy": "rgl", "config": "configs/icra_benchmark/rgl.py"},
+    {"name": "sarl", "policy": "sarl",
+     "config": "configs/icra_benchmark/sarl.py"},
+    {"name": "lstm_rl", "policy": "lstm_rl",
+     "config": "configs/icra_benchmark/lstm_rl.py"},
+    {"name": "cadrl", "policy": "cadrl",
+     "config": "configs/icra_benchmark/cadrl.py",
+     "test_args": ["--human_num", "5"]},
+    {"name": "mp_unicycle", "policy": "model_predictive_rl",
+     "config": "configs/icra_benchmark/mp_unicycle.py"},
+    {"name": "sarl_om", "policy": "sarl",
+     "config": "configs/icra_benchmark/sarl_om.py"},
+    {"name": "mp_w4", "policy": "model_predictive_rl",
+     "config": "configs/icra_benchmark/mp_w4.py"},
+    # mp_w4 + eval cadence 250 (denser best-on-val selection), seed 2 —
+    # the r3 quality-band run
+    {"name": "mprl_fine", "policy": "model_predictive_rl",
+     "config": "configs/icra_benchmark/mp_w4.py",
+     "train_args": ["--evaluation_interval", "250", "--randomseed", "2"]},
     # mp_w4 + RL lr 5e-4 + eval cadence 250, seed 3 (best success/collision
-    # pair of the r3 sweep; train: tools/round3_chip_pipeline7.sh)
-    ("mprl_band", "model_predictive_rl", "configs/icra_benchmark/mp_w4.py",
-     []),
+    # pair of the r3 sweep)
+    {"name": "mprl_band", "policy": "model_predictive_rl",
+     "config": "configs/icra_benchmark/mp_w4.py",
+     "train_args": ["--evaluation_interval", "250", "--randomseed", "3",
+                    "--rl_learning_rate", "5e-4"]},
 ]
 
-# Rows whose canonical record is a COMMITTED run under results/ (the round-2
-# headline checkpoints). When data/<name>/eval_test.json is absent, the table
-# uses results/<dir>/eval_test.json instead of retraining from scratch, so a
-# partial regeneration can never silently replace the headline with a weaker
-# rerun (the r2 quality_table failure mode).
+# Rows whose canonical record is a COMMITTED run under results/ (headline
+# checkpoints). When data/<name>/<record> is absent, the table uses
+# results/<dir>/<record> instead of retraining from scratch, so a partial
+# regeneration can never silently replace the headline with a weaker rerun
+# (the r2 quality_table failure mode).
 COMMITTED_FALLBACK = {
     "mprl": "results/mprl_td",
     "rgl": "results/rgl",
     "orca": "results/orca",
+    "orca_th10": "results/orca_th10",
+    "mprl_fine": "results/mprl_fine",
+    "mprl_band": "results/mprl_band",
 }
 
 
@@ -99,34 +120,37 @@ def main() -> int:
     args = p.parse_args()
 
     only = set(args.only.split(",")) if args.only else None
-    runs = [r for r in RUNS if only is None or r[0] in only]
+    runs = [r for r in RUNS if only is None or r["name"] in only]
     os.makedirs(os.path.join(HERE, args.data_dir), exist_ok=True)
 
     if not args.table_only:
-        for name, policy, config, test_args in runs:
+        for r in runs:
+            name, policy = r["name"], r["policy"]
+            config = r.get("config")
+            record = r.get("record", "eval_test.json")
             outdir = os.path.join(HERE, args.data_dir, name)
-            done = os.path.join(outdir, "eval_test.json")
+            done = os.path.join(outdir, record)
             if args.skip_existing and os.path.exists(done):
-                print(f"[{name}] eval_test.json exists — skipping", flush=True)
+                print(f"[{name}] {record} exists — skipping", flush=True)
                 continue
             fb = COMMITTED_FALLBACK.get(name)
             if (args.skip_existing and fb is not None
-                    and os.path.exists(os.path.join(HERE, fb,
-                                                    "eval_test.json"))):
+                    and os.path.exists(os.path.join(HERE, fb, record))):
                 print(f"[{name}] using committed {fb} — skipping retrain",
                       flush=True)
                 continue
             os.makedirs(outdir, exist_ok=True)
             log = os.path.join(outdir, "reproduce.log")
             t0 = time.time()
-            if config is not None:  # config=None → untrained baseline policy
+            if config is not None:  # no config → untrained baseline policy
                 rc = run([sys.executable, "-m",
                           "relationalgraphlearning_tpu.cli.train",
                           "--policy", policy, "--config", config,
                           "--output_dir", outdir, "--overwrite",
                           "--evaluation_interval", "500",
                           "--val_size", "200",
-                          "--randomseed", str(args.seed)], log)
+                          "--randomseed", str(args.seed)]
+                         + r.get("train_args", []), log)
                 if rc != 0:
                     print(f"[{name}] TRAIN FAILED rc={rc} — see {log}",
                           flush=True)
@@ -134,17 +158,18 @@ def main() -> int:
             rc = run([sys.executable, "-m",
                       "relationalgraphlearning_tpu.cli.test",
                       "--policy", policy, "--model_dir", outdir,
-                      "--phase", "test"] + test_args, log)
+                      "--phase", "test"] + r.get("test_args", []), log)
             status = "ok" if rc == 0 else f"EVAL FAILED rc={rc}"
             print(f"[{name}] {status} ({time.time() - t0:.0f}s)", flush=True)
 
     # ------------------------------------------------------------- the table
     rows = []
-    for name, policy, config, _ in runs:
-        path = os.path.join(HERE, args.data_dir, name, "eval_test.json")
+    for r in runs:
+        name = r["name"]
+        record = r.get("record", "eval_test.json")
+        path = os.path.join(HERE, args.data_dir, name, record)
         if not os.path.exists(path) and name in COMMITTED_FALLBACK:
-            path = os.path.join(HERE, COMMITTED_FALLBACK[name],
-                                "eval_test.json")
+            path = os.path.join(HERE, COMMITTED_FALLBACK[name], record)
         if not os.path.exists(path):
             rows.append((name, None))
             continue
@@ -165,10 +190,11 @@ def main() -> int:
     if any(name == "orca" for name, _ in rows):
         lines.append(
             "\norca = untrained reciprocal-avoidance baseline at the "
-            "faithful RVO2 defaults (safety_space=0, time_horizon=5). The "
-            "row is hypersensitive to those params — time_horizon=10 "
-            "reproduces the paper's ~0.43/0.57 row exactly; full sweep in "
-            "PERF.md / results/orca/.")
+            "faithful RVO2 defaults (safety_space=0, time_horizon=5); "
+            "orca_th10 = the SAME policy at time_horizon=10, which "
+            "reproduces the paper's ~0.43/0.57 Table I row — the invisible-"
+            "robot protocol makes the row hypersensitive to how early the "
+            "one-sided avoidance constraint bites (full sweep: PERF.md).")
     lines.append(
         "\nThe paper's core claim — d-step planning beats one-step — holds "
         "on the SAME checkpoints: mprl d=2 0.990 vs its d=1 ablation 0.968 "
