@@ -84,13 +84,16 @@ def test_mask_drops_edges():
         rtol=1e-4, atol=1e-5)
 
 
-def test_pallas_kernel_interpret_matches():
+def test_pallas_entry_point_dispatches_to_chain():
+    """ops/pallas_graph.py is a gate+pointer since r4 (the production fused
+    kernel is ops/pallas_block.py — see test_pallas_block.py); its entry
+    point must keep serving the exact chain for existing callers."""
     q, x, v, cols = _rand(n=64, d=16, k=8)
     mask = jnp.ones(cols.shape, bool)
     out_ref = sparse.spmm_fixed_k(
         sparse.neighbor_softmax(sparse.sddmm_fixed_k(q, x, cols, mask), mask),
         v, cols)
-    out_pl = fused_neighbor_attention(q, x, v, cols, mask, interpret=True)
+    out_pl = fused_neighbor_attention(q, x, v, cols, mask)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref),
                                rtol=1e-4, atol=1e-5)
 
