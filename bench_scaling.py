@@ -21,9 +21,10 @@ def measure(method: str, n_devices: int, n_per_shard: int = 2048,
             K: int = 16, inner: int = 8, reps: int = 3) -> float:
     from relationalgraphlearning_tpu.configs.base import GCNConfig
     from relationalgraphlearning_tpu.models.sparse_rgl import SparseRGL
+    from relationalgraphlearning_tpu.ops import block_graph
     from relationalgraphlearning_tpu.ops.sparse import knn_graph
     from relationalgraphlearning_tpu.parallel.graph_partition import (
-        partitioned_sparse_rgl)
+        halo_reach, partitioned_block_rgl, partitioned_sparse_rgl)
     from relationalgraphlearning_tpu.parallel.mesh import make_mesh
 
     cfg = GCNConfig()
@@ -32,30 +33,57 @@ def measure(method: str, n_devices: int, n_per_shard: int = 2048,
     n = n_per_shard * n_devices
     key = jax.random.PRNGKey(0)
     pos = jax.random.uniform(key, (n, 2)) * 100.0
+    if method == "block_halo":
+        pos = pos[block_graph.spatial_sort(pos)]
     states = jnp.concatenate(
         [pos, jnp.zeros((n, 2)), 0.3 * jnp.ones((n, 1))], axis=-1)
     cols = knn_graph(pos, K)
     params = SparseRGL(cfg).init(jax.random.PRNGKey(1), states, cols)
 
-    @jax.jit
-    def run(params, states, cols):
-        def body(s, _):
-            h = partitioned_sparse_rgl(
-                params, cfg, s, cols, mesh, method=method)
-            # re-inject so `inner` forwards chain without host round-trips
-            return s.at[:, 2:4].set(h[:, :2] * 1e-6), None
+    if method == "block_halo":
+        # the windowed dense MXU path, node-partitioned with halo exchange
+        # (r4): B chosen so every shard holds whole blocks at D=1..8
+        B, C = 128, 448
+        cand, cov = block_graph.block_window(cols, B, C)
+        assert float(cov) == 1.0, float(cov)
+        emask = block_graph.block_masks(cols, cand)
+        halo = max(8, -(-halo_reach(cand, B, n // n_devices) // 8) * 8)
+        assert halo < n // n_devices, halo
 
-        s, _ = jax.lax.scan(body, states, None, inner)
-        return s
+        @jax.jit
+        def run(params, states, cand, emask):
+            def body(s, _):
+                h = partitioned_block_rgl(
+                    params, cfg, s, cand, emask, mesh, halo=halo)
+                return s.at[:, 2:4].set(h[:, :2] * 1e-6), None
+
+            s, _ = jax.lax.scan(body, states, None, inner)
+            return s
+
+        run_args = (params, states, cand, emask)
+    else:
+
+        @jax.jit
+        def run(params, states, cols):
+            def body(s, _):
+                h = partitioned_sparse_rgl(
+                    params, cfg, s, cols, mesh, method=method)
+                # re-inject so `inner` forwards chain without host round-trips
+                return s.at[:, 2:4].set(h[:, :2] * 1e-6), None
+
+            s, _ = jax.lax.scan(body, states, None, inner)
+            return s
+
+        run_args = (params, states, cols)
 
     from relationalgraphlearning_tpu.utils.sync import force
 
     with mesh:
-        out = run(params, states, cols)
+        out = run(*run_args)
         force(out)  # fetch-based barrier (see utils/sync.py)
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = run(params, states, cols)
+            out = run(*run_args)
         force(out)
         dt = (time.perf_counter() - t0) / reps
     # num_layer aggregation passes per forward
@@ -64,7 +92,7 @@ def measure(method: str, n_devices: int, n_per_shard: int = 2048,
 
 def main():
     results = {}
-    for method in ("ring", "allgather"):
+    for method in ("ring", "allgather", "block_halo"):
         base = None
         for d in (1, 2, 4, 8):
             if d > len(jax.devices()):
