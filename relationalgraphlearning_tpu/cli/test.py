@@ -46,6 +46,12 @@ def main(argv=None):
     p.add_argument("--planning_depth", type=int, default=None)
     p.add_argument("--planning_width", type=int, default=None)
     p.add_argument("--sparse_search", action="store_true", default=None)
+    p.add_argument("--rotation_constraint", type=float, default=None,
+                   help="unicycle max |dθ| per step override — the planner "
+                        "scores NEXT STATES, so the action space re-shapes "
+                        "at test time like depth/width (diagnosis: 68%% of "
+                        "unicycle collisions were turn-saturated)")
+    p.add_argument("--rotation_samples", type=int, default=None)
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--test_case", type=int, default=0)
     p.add_argument("--traj", default=None, help="save trajectory plot to PNG")
@@ -92,6 +98,15 @@ def main(argv=None):
             config, policy=dataclasses.replace(
                 config.policy, mprl=dataclasses.replace(
                     config.policy.mprl, **mprl_over)))
+    aspace_over = {k: v for k, v in (
+        ("rotation_constraint", args.rotation_constraint),
+        ("rotation_samples", args.rotation_samples)) if v is not None}
+    if aspace_over:
+        config = dataclasses.replace(
+            config, policy=dataclasses.replace(
+                config.policy, action_space=dataclasses.replace(
+                    config.policy.action_space, **aspace_over)))
+        mprl_over.update(aspace_over)  # recorded with planner overrides
 
     policy_kwargs = {}
     if args.safety_space is not None:
@@ -202,6 +217,10 @@ def main(argv=None):
         suffix += f"_w{args.planning_width}"
     if args.sparse_search:
         suffix += "_sparse"
+    if args.rotation_constraint is not None:
+        suffix += f"_rc{args.rotation_constraint:g}"
+    if args.rotation_samples is not None:
+        suffix += f"_rs{args.rotation_samples}"
     if args.checkpoint:
         suffix += f"_{args.checkpoint}"
     if args.safety_space is not None:

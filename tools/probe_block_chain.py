@@ -104,6 +104,53 @@ def main():
     dt = timeit(softmax_only, s0, emask)
     print(f"d. softmax+mask alone: {dt*1e3:.2f} ms", flush=True)
 
+    # ---- r4 additions: localize the residual wall (sweep showed backend/
+    # dtype/mask-packing near-irrelevant → suspect the per-layer gather)
+    from relationalgraphlearning_tpu.ops import pallas_block
+
+    mbits = pallas_block.pack_emask(emask)
+    candc = jnp.clip(cand, 0, n - 1)
+
+    @jax.jit
+    def kernel_only(h, xg, vg, mbits):
+        def body(h, _):
+            qb = h.reshape(nb, B, d)
+            out = pallas_block.fused_block_attention_packed(
+                qb, xg, vg, mbits).reshape(n, d)
+            return out / jnp.maximum(
+                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6), None
+        h, _ = jax.lax.scan(body, h, None, inner)
+        return h
+
+    xg0 = h0[candc]
+    dt = timeit(kernel_only, h0, xg0, xg0, mbits)
+    print(f"f. pallas kernel only (pre-gathered xg/vg): {dt*1e3:.2f} ms "
+          f"-> {edges/dt/1e9:.2f} Gedges/s", flush=True)
+
+    @jax.jit
+    def chain_pallas(h, cand, mbits):
+        def body(h, _):
+            out = pallas_block.block_attention_pallas(h, h, h, cand, mbits)
+            return out / jnp.maximum(
+                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6), None
+        h, _ = jax.lax.scan(body, h, None, inner)
+        return h
+
+    dt = timeit(chain_pallas, h0, cand, mbits)
+    print(f"g. pallas chain (gather in loop): {dt*1e3:.2f} ms "
+          f"-> {edges/dt/1e9:.2f} Gedges/s", flush=True)
+
+    @jax.jit
+    def norm_only(h):
+        def body(h, _):
+            return h / jnp.maximum(
+                jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-6) + 1e-9, None
+        h, _ = jax.lax.scan(body, h, None, inner)
+        return h
+
+    dt = timeit(norm_only, h0)
+    print(f"h. norm alone: {dt*1e3:.2f} ms", flush=True)
+
     @jax.jit
     def chain_gather(h, cols):
         mask = jnp.ones(cols.shape, bool)
