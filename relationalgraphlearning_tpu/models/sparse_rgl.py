@@ -58,16 +58,23 @@ class SparseRGL(nn.Module):
                    layer: nn.Dense,
                    block_cand: Optional[Array] = None,
                    block_emask: Optional[Array] = None) -> Array:
-        """softmax-SDDMM + SpMM for one GCN layer: relu(Â · H · W)."""
+        """softmax-SDDMM + SpMM for one GCN layer: relu(Â · H · W).
+
+        The layer weight is applied AFTER aggregation — (Â·H)·W ==
+        Â·(H·W) by linearity, and with values == keys == H the candidate
+        tables coincide, so every backend fetches ONE gathered table per
+        layer instead of two (the r4 sweep showed the block chain is
+        bounded by gather item count, not bytes — halving the tables is
+        the highest-leverage exact rewrite).
+        """
         q = self.w_a(H)
-        v = layer(H)
         backend = "pallas" if self.use_pallas else self.backend
         if backend == "pallas":
             from relationalgraphlearning_tpu.ops.pallas_graph import (
                 fused_neighbor_attention,
             )
 
-            out = fused_neighbor_attention(q, H, v, cols, mask)
+            agg = fused_neighbor_attention(q, H, H, cols, mask)
         elif backend == "block":
             from relationalgraphlearning_tpu.ops import block_graph
 
@@ -82,18 +89,18 @@ class SparseRGL(nn.Module):
                 from relationalgraphlearning_tpu.ops.pallas_block import (
                     block_attention_pallas)
 
-                out = block_attention_pallas(
-                    q, H, v, block_cand, block_emask,
+                agg = block_attention_pallas(
+                    q, H, H, block_cand, block_emask,
                     interpret=jax.default_backend() == "cpu")
             else:
-                out = block_graph.block_attention(
-                    q, H, v, cols, block_cand, mask=mask,
+                agg = block_graph.block_attention(
+                    q, H, H, cols, block_cand, mask=mask,
                     emask=block_emask)
         else:
             scores = sparse.sddmm_fixed_k(q, H, cols, mask)
             attn = sparse.neighbor_softmax(scores, mask)
-            out = sparse.spmm_fixed_k(attn, v, cols)
-        return nn.relu(out)
+            agg = sparse.spmm_fixed_k(attn, H, cols)
+        return nn.relu(layer(agg))
 
     def __call__(self, states: Array, cols: Array,
                  mask: Optional[Array] = None,

@@ -114,7 +114,7 @@ def fused_block_attention(qb: Array, xg: Array, vg: Array, emask: Array,
     )(qb, xg, vg, m)
 
 
-def _kernel_packed(q_ref, x_ref, v_ref, m_ref, o_ref):
+def _kernel_packed(q_ref, x_ref, v_ref, m_ref, o_ref, *, epilogue="none"):
     q = q_ref[0]      # [B, dq]
     x = x_ref[0]      # [C, dq]
     v = v_ref[0]      # [C, dv]
@@ -128,15 +128,22 @@ def _kernel_packed(q_ref, x_ref, v_ref, m_ref, o_ref):
     e = jnp.where(mask, jnp.exp(scores - smax), 0.0)
     denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
     attn = (e / denom).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(
+    out = jax.lax.dot_general(
         attn, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        preferred_element_type=jnp.float32)
+    if epilogue == "l2norm":  # fused row normalize — saves an HBM pass
+        out = out / jnp.maximum(
+            jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True)), 1e-6)
+    elif epilogue == "relu":  # the GCN-layer activation
+        out = jnp.maximum(out, 0.0)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "epilogue"))
 def fused_block_attention_packed(qb: Array, xg: Array, vg: Array,
                                  mbits: Array,
-                                 interpret: bool = False) -> Array:
+                                 interpret: bool = False,
+                                 epilogue: str = "none") -> Array:
     """v2 kernel: qb [nb, B, dq], xg [nb, C, dq], vg [nb, C, dv],
     mbits [nb, B//32, C] uint32 from ``pack_emask`` → out [nb, B, dv].
 
@@ -151,7 +158,7 @@ def fused_block_attention_packed(qb: Array, xg: Array, vg: Array,
     dv = vg.shape[2]
     assert mbits.shape == (nb, B // 32, C), (mbits.shape, (nb, B, C))
     return pl.pallas_call(
-        _kernel_packed,
+        functools.partial(_kernel_packed, epilogue=epilogue),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, B, dq), lambda i: (i, 0, 0),
@@ -171,13 +178,16 @@ def fused_block_attention_packed(qb: Array, xg: Array, vg: Array,
 
 
 def block_attention_pallas(q: Array, x: Array, v: Array, cand: Array,
-                           emask: Array, interpret: bool = False) -> Array:
+                           emask: Array, interpret: bool = False,
+                           epilogue: str = "none") -> Array:
     """Drop-in for ``block_graph.block_attention`` with precomputed
     ``emask``: gathers candidates in XLA, runs the fused kernel.
 
     ``emask`` may be the [nb, B, C] bool mask (packed here per call — fine
     for one-shot use) or the graph-static [nb, B//32, C] uint32 from
     ``pack_emask`` (pack once, reuse across layers/steps — the fast path).
+    When x and v are the SAME array (postponed-weight callers) XLA CSEs the
+    two candidate gathers into one — the dominant cost at bench shapes.
     """
     n, dq = q.shape
     nb, C = cand.shape
@@ -186,5 +196,5 @@ def block_attention_pallas(q: Array, x: Array, v: Array, cand: Array,
     candc = jnp.clip(cand, 0, n - 1)
     out = fused_block_attention_packed(
         q.reshape(nb, B, dq), x[candc], v[candc], mbits,
-        interpret=interpret)
+        interpret=interpret, epilogue=epilogue)
     return out.reshape(n, -1)

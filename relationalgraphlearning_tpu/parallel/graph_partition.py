@@ -90,13 +90,16 @@ def ring_neighbor_attention(q: Array, x: Array, v: Array, cols: Array,
     acc0 = jnp.zeros((q.shape[0], v.shape[-1]))
     carry = fold((m0, s0, acc0), (x, v), me)
 
+    same = v is x  # postponed-weight callers pass the SAME tracer for both
     x_blk, v_blk = x, v
     for step in range(1, D):
         # circulate blocks: after `step` hops we hold the block of owner
         # (me - step) mod D; ppermute issues the send while the fold of the
-        # previous block is still in flight (XLA overlaps them).
+        # previous block is still in flight (XLA overlaps them). When the
+        # value table IS the key table (weight postponed past aggregation),
+        # one ppermute per step carries both roles — half the ICI traffic.
         x_blk = jax.lax.ppermute(x_blk, axis_name, perm)
-        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        v_blk = x_blk if same else jax.lax.ppermute(v_blk, axis_name, perm)
         owner = (me - step) % D
         carry = fold(carry, (x_blk, v_blk), owner)
 
@@ -111,7 +114,7 @@ def allgather_neighbor_attention(q: Array, x: Array, v: Array, cols: Array,
     from relationalgraphlearning_tpu.ops import sparse
 
     x_all = jax.lax.all_gather(x, axis_name, tiled=True)
-    v_all = jax.lax.all_gather(v, axis_name, tiled=True)
+    v_all = x_all if v is x else jax.lax.all_gather(v, axis_name, tiled=True)
     scores = sparse.sddmm_fixed_k(q, x_all, cols, mask)
     attn = sparse.neighbor_softmax(scores, mask)
     return sparse.spmm_fixed_k(attn, v_all, cols)
@@ -235,9 +238,10 @@ def partitioned_block_rgl(params, cfg, states: Array, cand: Array,
         p = params["params"]
         for li in range(cfg.num_layer):
             q = apply_sub("w_a", H)
-            v = H @ p[f"gcn_w{li+1}"]["kernel"]
-            out = block_halo_attention(q, H, v, cand, emask, axis, halo)
-            H_next = jax.nn.relu(out)
+            # weight postponed past aggregation (== by linearity): values
+            # coincide with keys → one halo-exchanged table, one gather
+            out = block_halo_attention(q, H, H, cand, emask, axis, halo)
+            H_next = jax.nn.relu(out @ p[f"gcn_w{li+1}"]["kernel"])
             if cfg.skip_connection and H_next.shape == H.shape:
                 H_next = H_next + H
             H = H_next
@@ -291,9 +295,10 @@ def partitioned_sparse_rgl(params, cfg, states: Array, cols: Array,
         num_layers = cfg.num_layer
         for li in range(num_layers):
             q = apply_sub("w_a", H)
-            v = H @ p[f"gcn_w{li+1}"]["kernel"]
-            out = agg(q, H, v, cols, mask, axis)
-            H_next = jax.nn.relu(out)
+            # weight postponed past aggregation (exact): one circulated/
+            # gathered table instead of separate key + value tables
+            out = agg(q, H, H, cols, mask, axis)
+            H_next = jax.nn.relu(out @ p[f"gcn_w{li+1}"]["kernel"])
             if cfg.skip_connection and H_next.shape == H.shape:
                 H_next = H_next + H
             H = H_next

@@ -75,6 +75,20 @@ def test_packed_kernel_bf16():
                                np.asarray(want), rtol=0.05, atol=0.05)
 
 
+def test_epilogue_l2norm_matches_external_norm():
+    q, x, v, cols, cand, emask, cov = _setup(seed=13, C=384)
+    assert cov == 1.0
+    bits = pallas_block.pack_emask(emask)
+    fused = pallas_block.block_attention_pallas(
+        q, x, v, cand, bits, interpret=True, epilogue="l2norm")
+    plain = pallas_block.block_attention_pallas(
+        q, x, v, cand, bits, interpret=True)
+    want = plain / jnp.maximum(
+        jnp.linalg.norm(plain, axis=-1, keepdims=True), 1e-6)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fused_zeroes_fully_masked_rows():
     q, x, v, cols, cand, emask, _ = _setup(seed=5)
     emask = emask.at[0, 0, :].set(False)  # row with no edges

@@ -83,9 +83,9 @@ def run_variant(backend, dtype, B, C, n=8192, K=16, inner=100):
         @jax.jit
         def f(h, cand, mb):
             def body(h, _):
-                out = pallas_block.block_attention_pallas(h, h, h, cand, mb)
-                out = out / jnp.maximum(
-                    jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6)
+                # row-normalize fused in-kernel (epilogue) — no extra pass
+                out = pallas_block.block_attention_pallas(
+                    h, h, h, cand, mb, epilogue="l2norm")
                 return out.astype(dtype), None
 
             h, _ = jax.lax.scan(body, h, None, inner)
