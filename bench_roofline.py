@@ -212,36 +212,47 @@ def main():
             "coverage": float(cov),
         }))
 
-    # Pallas fused block kernel (ops/pallas_block.py): same chain, score
-    # tiles resident in VMEM. try/except: if Mosaic rejects it on this
-    # image, the roofline records the XLA rows and moves on.
+    # Pallas fused block kernel (ops/pallas_block.py v2: bitpacked mask +
+    # fused l2norm epilogue): same chain, score tiles resident in VMEM.
+    # try/except: if Mosaic rejects it on this image, the roofline records
+    # the XLA rows and moves on.
     try:
         from relationalgraphlearning_tpu.ops import pallas_block
 
-        ks = jax.random.split(jax.random.PRNGKey(0), 2)
-        pos = jax.random.uniform(ks[1], (n, 2)) * 100
-        pos = pos[block_graph.spatial_sort(pos)]
-        cols = _sp.knn_graph(pos, K)
-        cand, cov = block_graph.block_window(cols, B, C)
-        emask = block_graph.block_masks(cols, cand)
-        h0 = jax.random.normal(ks[0], (n, d))
+        for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+            ks = jax.random.split(jax.random.PRNGKey(0), 2)
+            pos = jax.random.uniform(ks[1], (n, 2)) * 100
+            pos = pos[block_graph.spatial_sort(pos)]
+            cols = _sp.knn_graph(pos, K)
+            cand, cov = block_graph.block_window(cols, B, C)
+            mbits = pallas_block.pack_emask(
+                block_graph.block_masks(cols, cand))
+            h0 = jax.random.normal(ks[0], (n, d), dtype)
 
-        @jax.jit
-        def fp(h, cand, emask):
-            def body(h, _):
-                out = pallas_block.block_attention_pallas(h, h, h, cand,
-                                                          emask)
-                return out / jnp.maximum(
-                    jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-6), None
+            @jax.jit
+            def fp(h, cand, mbits):
+                def body(h, _):
+                    out = pallas_block.block_attention_pallas(
+                        h, h, h, cand, mbits, epilogue="l2norm")
+                    return out.astype(dtype), None
 
-            h, _ = jax.lax.scan(body, h, None, 100)
-            return h
+                h, _ = jax.lax.scan(body, h, None, 100)
+                return h
 
-        dt = _med_time(fp, h0, cand, emask, reps=3)
-        e = n * K * 100 / dt
-        res["block_pallas_gedges_s"] = round(e / 1e9, 2)
-        print(json.dumps({"metric": "graph chain (pallas fused block)",
-                          "gedges_per_s": res["block_pallas_gedges_s"]}))
+            dt = _med_time(fp, h0, cand, mbits, reps=3)
+            e = n * K * 100 / dt
+            dense_flops = n * C * 2 * (d + d) * 100 / dt
+            mxu_key = ("mxu_bf16_tflops" if tag == "bf16"
+                       else "mxu_f32_tflops")
+            res[f"block_pallas_{tag}_gedges_s"] = round(e / 1e9, 2)
+            res[f"block_pallas_{tag}_vs_mxu"] = round(
+                dense_flops / (res[mxu_key] * 1e12), 3)
+            print(json.dumps({
+                "metric": f"graph chain (pallas fused block, {tag})",
+                "gedges_per_s": res[f"block_pallas_{tag}_gedges_s"],
+                "fraction_of_mxu_ceiling": res[f"block_pallas_{tag}_vs_mxu"],
+            }))
+        res["block_pallas_gedges_s"] = res["block_pallas_f32_gedges_s"]
     except Exception as err:  # Mosaic lowering failure — record and move on
         res["block_pallas_error"] = f"{type(err).__name__}: {err}"[:200]
         print(json.dumps({"metric": "graph chain (pallas fused block)",

@@ -92,6 +92,58 @@ def block_window(cols: Array, block_size: int, window: int
     return cand, coverage
 
 
+def block_window_aligned(cols: Array, block_size: int, window: int,
+                         align: int) -> Tuple[Array, Array, Array]:
+    """Aligned-slice candidate windows (r4): candidates are ``align``-row
+    slice STARTS instead of single rows.
+
+    The r4 chip sweep showed the block chain bounded by the candidate
+    gather's per-ITEM cost, not its bytes; fetching A-row aligned slices
+    (table viewed as [n/A, A·d]) cuts items ~(mean run length / A)× for
+    the same downstream flops when the window is sized to the expanded
+    slot count. Returns ``(starts [nb, S], cand [nb, S·A], coverage)``
+    with S = window // align: ``starts`` sorted ascending (sentinel
+    n/align), ``cand`` the expanded row ids (sorted — feed to
+    ``block_masks``/``pack_emask`` unchanged), ``coverage`` the fraction
+    of edges whose target's slice made the window.
+    """
+    n, K = cols.shape
+    assert n % block_size == 0 and window % align == 0, (n, block_size,
+                                                        window, align)
+    nb = n // block_size
+    S = window // align
+    sent = n // align
+    ids = jnp.sort(cols.reshape(nb, block_size * K) // align, axis=-1)
+    first = jnp.concatenate(
+        [jnp.ones((nb, 1), bool), ids[:, 1:] != ids[:, :-1]], axis=-1)
+    slot = jnp.cumsum(first, axis=-1) - 1
+    ok = first & (slot < S)
+    dump = jnp.where(ok, slot, S)
+    buf = jnp.full((nb, S + 1), sent, dtype=cols.dtype)
+    starts = jax.vmap(lambda b, s, v: b.at[s].set(v))(buf, dump, ids)[:, :S]
+
+    def _kept(st_b, ids_b):
+        sl = jnp.clip(jnp.searchsorted(st_b, ids_b), 0, S - 1)
+        return st_b[sl] == ids_b
+
+    coverage = jnp.mean(jax.vmap(_kept)(starts, ids).astype(jnp.float32))
+    cand = (starts[:, :, None] * align
+            + jnp.arange(align, dtype=cols.dtype)[None, None, :]
+            ).reshape(nb, S * align)
+    return starts, cand, coverage
+
+
+def gather_aligned(x: Array, starts: Array, align: int) -> Array:
+    """Fetch the aligned slices: x [n, d], starts [nb, S] (units of
+    ``align`` rows) → [nb, S·align, d]. One gather of S items per block —
+    each item moves ``align`` rows — instead of S·align row items."""
+    n, d = x.shape
+    nb, S = starts.shape
+    xa = x.reshape(n // align, align * d)
+    g = xa[jnp.clip(starts, 0, n // align - 1)]  # [nb, S, align·d]
+    return g.reshape(nb, S * align, d)
+
+
 def block_masks(cols: Array, cand: Array,
                 mask: Optional[Array] = None) -> Array:
     """emask [nb, B, C]: True exactly at each block's (row, neighbor) edges.

@@ -177,6 +177,27 @@ def fused_block_attention_packed(qb: Array, xg: Array, vg: Array,
     )(qb, xg, vg, mbits)
 
 
+def block_attention_pallas_aligned(q: Array, x: Array, v: Array,
+                                   starts: Array, align: int, mbits: Array,
+                                   interpret: bool = False,
+                                   epilogue: str = "none") -> Array:
+    """Like ``block_attention_pallas`` but candidates arrive as ``align``-
+    row slice starts (``block_graph.block_window_aligned``): the XLA gather
+    fetches S items of align·d instead of S·align row items — the same
+    kernel runs on the expanded window with its bitpacked mask."""
+    from relationalgraphlearning_tpu.ops.block_graph import gather_aligned
+
+    n, dq = q.shape
+    nb, S = starts.shape
+    B = n // nb
+    xg = gather_aligned(x, starts, align)
+    vg = xg if v is x else gather_aligned(v, starts, align)
+    out = fused_block_attention_packed(
+        q.reshape(nb, B, dq), xg, vg, mbits,
+        interpret=interpret, epilogue=epilogue)
+    return out.reshape(n, -1)
+
+
 def block_attention_pallas(q: Array, x: Array, v: Array, cand: Array,
                            emask: Array, interpret: bool = False,
                            epilogue: str = "none") -> Array:

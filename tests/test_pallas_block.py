@@ -75,6 +75,29 @@ def test_packed_kernel_bf16():
                                np.asarray(want), rtol=0.05, atol=0.05)
 
 
+def test_aligned_window_matches_gather_path():
+    """Aligned-slice candidates (block_window_aligned + gather_aligned)
+    reproduce the exact gather-path result."""
+    n, K, B, A = 1024, 8, 128, 4
+    pos = jax.random.uniform(jax.random.PRNGKey(21), (n, 2)) * 30
+    pos = pos[block_graph.spatial_sort(pos)]
+    cols = sparse.knn_graph(pos, K)
+    starts, cand, cov = block_graph.block_window_aligned(cols, B, 512, A)
+    assert float(cov) == 1.0
+    emask = block_graph.block_masks(cols, cand)
+    bits = pallas_block.pack_emask(emask)
+    ks = jax.random.split(jax.random.PRNGKey(22), 3)
+    q = jax.random.normal(ks[0], (n, 32))
+    x = jax.random.normal(ks[1], (n, 32))
+    v = jax.random.normal(ks[2], (n, 48))
+    got = pallas_block.block_attention_pallas_aligned(
+        q, x, v, starts, A, bits, interpret=True)
+    want = sparse.spmm_fixed_k(
+        sparse.neighbor_softmax(sparse.sddmm_fixed_k(q, x, cols)), v, cols)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_epilogue_l2norm_matches_external_norm():
     q, x, v, cols, cand, emask, cov = _setup(seed=13, C=384)
     assert cov == 1.0

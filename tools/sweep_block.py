@@ -57,7 +57,32 @@ def build_graph(n, K, B, C, seed=0):
 
 
 def run_variant(backend, dtype, B, C, n=8192, K=16, inner=100):
-    from relationalgraphlearning_tpu.ops import block_graph, pallas_block
+    from relationalgraphlearning_tpu.ops import block_graph, pallas_block, \
+        sparse
+
+    if backend.startswith("pallas_a"):
+        # aligned-slice gather variant: C is the EXPANDED slot count
+        A = int(backend.split("_a")[1])
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        pos = jax.random.uniform(ks[1], (n, 2)) * 100
+        pos = pos[block_graph.spatial_sort(pos)]
+        cols = sparse.knn_graph(pos, K)
+        starts, cand, cov = block_graph.block_window_aligned(cols, B, C, A)
+        mb = pallas_block.pack_emask(block_graph.block_masks(cols, cand))
+        h0 = jax.random.normal(ks[0], (n, 64)).astype(dtype)
+
+        @jax.jit
+        def f(h, starts, mb):
+            def body(h, _):
+                out = pallas_block.block_attention_pallas_aligned(
+                    h, h, h, starts, A, mb, epilogue="l2norm")
+                return out.astype(dtype), None
+
+            h, _ = jax.lax.scan(body, h, None, inner)
+            return h
+
+        dt = _med_time(f, h0, starts, mb)
+        return n * K * inner / dt, float(cov)
 
     h0, cols, cand, emask, cov = build_graph(n, K, B, C)
     h0 = h0.astype(dtype)
@@ -103,12 +128,15 @@ def main():
     args = ap.parse_args()
 
     shapes = [(256, 512), (256, 640), (512, 1024), (512, 1280)]
+    aligned_shapes = [(256, 640), (256, 768), (256, 896)]
     if args.quick:
         shapes = [(256, 640)]
+        aligned_shapes = [(256, 768)]
     results = []
-    for backend in ("pallas", "xla"):
+    for backend in ("pallas", "pallas_a4", "pallas_a8", "xla"):
         for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
-            for B, C in shapes:
+            for B, C in (aligned_shapes if backend.startswith("pallas_a")
+                         else shapes):
                 try:
                     e, cov = run_variant(backend, dtype, B, C, n=args.n)
                     rec = {"backend": backend, "dtype": tag, "B": B, "C": C,
