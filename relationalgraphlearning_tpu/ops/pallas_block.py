@@ -114,7 +114,8 @@ def fused_block_attention(qb: Array, xg: Array, vg: Array, emask: Array,
     )(qb, xg, vg, m)
 
 
-def _kernel_packed(q_ref, x_ref, v_ref, m_ref, o_ref, *, epilogue="none"):
+def _kernel_packed(q_ref, x_ref, v_ref, m_ref, o_ref, *, epilogue="none",
+                   stable=True):
     q = q_ref[0]      # [B, dq]
     x = x_ref[0]      # [C, dq]
     v = v_ref[0]      # [C, dv]
@@ -123,9 +124,16 @@ def _kernel_packed(q_ref, x_ref, v_ref, m_ref, o_ref, *, epilogue="none"):
     scores = jax.lax.dot_general(
         q, x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [B, C] f32
-    scores = jnp.where(mask, scores, _NEG)
-    smax = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.where(mask, jnp.exp(scores - smax), 0.0)
+    if stable:
+        scores = jnp.where(mask, scores, _NEG)
+        smax = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.where(mask, jnp.exp(scores - smax), 0.0)
+    else:
+        # exact softmax without the max shift — callers guarantee bounded
+        # scores (e.g. l2-normalized inputs ⇒ |q·x| ≤ 1); the shift
+        # cancels in e/Σe identically, so skipping it only removes a
+        # [B, C] reduce+subtract from the VPU path
+        e = jnp.where(mask, jnp.exp(scores), 0.0)
     denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
     attn = (e / denom).astype(v.dtype)
     out = jax.lax.dot_general(
@@ -139,11 +147,13 @@ def _kernel_packed(q_ref, x_ref, v_ref, m_ref, o_ref, *, epilogue="none"):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "epilogue"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "epilogue", "stable"))
 def fused_block_attention_packed(qb: Array, xg: Array, vg: Array,
                                  mbits: Array,
                                  interpret: bool = False,
-                                 epilogue: str = "none") -> Array:
+                                 epilogue: str = "none",
+                                 stable: bool = True) -> Array:
     """v2 kernel: qb [nb, B, dq], xg [nb, C, dq], vg [nb, C, dv],
     mbits [nb, B//32, C] uint32 from ``pack_emask`` → out [nb, B, dv].
 
@@ -158,7 +168,7 @@ def fused_block_attention_packed(qb: Array, xg: Array, vg: Array,
     dv = vg.shape[2]
     assert mbits.shape == (nb, B // 32, C), (mbits.shape, (nb, B, C))
     return pl.pallas_call(
-        functools.partial(_kernel_packed, epilogue=epilogue),
+        functools.partial(_kernel_packed, epilogue=epilogue, stable=stable),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, B, dq), lambda i: (i, 0, 0),
@@ -180,7 +190,8 @@ def fused_block_attention_packed(qb: Array, xg: Array, vg: Array,
 def block_attention_pallas_aligned(q: Array, x: Array, v: Array,
                                    starts: Array, align: int, mbits: Array,
                                    interpret: bool = False,
-                                   epilogue: str = "none") -> Array:
+                                   epilogue: str = "none",
+                                   stable: bool = True) -> Array:
     """Like ``block_attention_pallas`` but candidates arrive as ``align``-
     row slice starts (``block_graph.block_window_aligned``): the XLA gather
     fetches S items of align·d instead of S·align row items — the same
@@ -194,13 +205,14 @@ def block_attention_pallas_aligned(q: Array, x: Array, v: Array,
     vg = xg if v is x else gather_aligned(v, starts, align)
     out = fused_block_attention_packed(
         q.reshape(nb, B, dq), xg, vg, mbits,
-        interpret=interpret, epilogue=epilogue)
+        interpret=interpret, epilogue=epilogue, stable=stable)
     return out.reshape(n, -1)
 
 
 def block_attention_pallas(q: Array, x: Array, v: Array, cand: Array,
                            emask: Array, interpret: bool = False,
-                           epilogue: str = "none") -> Array:
+                           epilogue: str = "none",
+                           stable: bool = True) -> Array:
     """Drop-in for ``block_graph.block_attention`` with precomputed
     ``emask``: gathers candidates in XLA, runs the fused kernel.
 
@@ -217,5 +229,5 @@ def block_attention_pallas(q: Array, x: Array, v: Array, cand: Array,
     candc = jnp.clip(cand, 0, n - 1)
     out = fused_block_attention_packed(
         q.reshape(nb, B, dq), x[candc], v[candc], mbits,
-        interpret=interpret, epilogue=epilogue)
+        interpret=interpret, epilogue=epilogue, stable=stable)
     return out.reshape(n, -1)

@@ -75,7 +75,8 @@ def run_variant(backend, dtype, B, C, n=8192, K=16, inner=100):
         def f(h, starts, mb):
             def body(h, _):
                 out = pallas_block.block_attention_pallas_aligned(
-                    h, h, h, starts, A, mb, epilogue="l2norm")
+                    h, h, h, starts, A, mb, epilogue="l2norm",
+                    stable=False)  # l2norm inputs bound |scores| <= 1
                 return out.astype(dtype), None
 
             h, _ = jax.lax.scan(body, h, None, inner)
@@ -110,7 +111,8 @@ def run_variant(backend, dtype, B, C, n=8192, K=16, inner=100):
             def body(h, _):
                 # row-normalize fused in-kernel (epilogue) — no extra pass
                 out = pallas_block.block_attention_pallas(
-                    h, h, h, cand, mb, epilogue="l2norm")
+                    h, h, h, cand, mb, epilogue="l2norm",
+                    stable=False)  # l2norm inputs bound |scores| <= 1
                 return out.astype(dtype), None
 
             h, _ = jax.lax.scan(body, h, None, inner)
