@@ -196,6 +196,12 @@ def main() -> int:
             "robot protocol makes the row hypersensitive to how early the "
             "one-sided avoidance constraint bites (full sweep: PERF.md).")
     lines.append(
+        "\nSeed robustness (r4): the headline recipe over seeds 0–3 gives "
+        "success 0.963 ± 0.028 (per-seed records + summary: "
+        "results/mprl_band_seeds/); the dense-selection variant (eval "
+        "cadence 250) is tighter — records under results/mprl_b250_seeds/. "
+        "Single-seed rows in this table are labeled as such.")
+    lines.append(
         "\nThe paper's core claim — d-step planning beats one-step — holds "
         "on the SAME checkpoints: mprl d=2 0.990 vs its d=1 ablation 0.968 "
         "(results/mprl_td/eval_test_d1.json); mprl_fine d=2 0.980 vs d=1 "
