@@ -107,6 +107,7 @@ def main():
     decisions, latency = bench_extra.planning_throughput()
     edges = bench_extra.edges_throughput()
     edges_block, block_cov = bench_extra.edges_throughput_block()
+    edges_block_xla, _ = bench_extra.edges_throughput_block(backend="xla")
     print(json.dumps({
         "metric": "env-steps/s",
         "value": round(tpu, 1),
@@ -122,6 +123,8 @@ def main():
             "planning_latency_ms": round(latency * 1e3, 3),
             "relation_gedges_per_s": round(edges / 1e9, 2),
             "relation_gedges_per_s_block": round(edges_block / 1e9, 2),
+            "relation_gedges_per_s_block_xla": round(
+                edges_block_xla / 1e9, 2),
             "block_coverage": block_cov,
         },
     }))

@@ -97,13 +97,23 @@ def edges_throughput(n=8192, K=16, d=64, inner=100):
     return n * K * inner / dt
 
 
-def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=256, C=640):
+def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=512, C=1024,
+                           backend="pallas"):
     """Same chain, same loop-carried protocol, but through the windowed dense
-    MXU path (ops/block_graph.py): per-block masked dense attention instead
-    of per-edge gathers. cols/cand/mask are graph-static (legitimately
-    amortized across layers, like cols in the gather path); the carried
-    feature chain itself cannot be hoisted."""
-    from relationalgraphlearning_tpu.ops import block_graph, sparse
+    MXU path: per-block masked dense attention instead of per-edge gathers.
+    cols/cand/mask are graph-static (legitimately amortized across layers,
+    like cols in the gather path); the carried feature chain itself cannot
+    be hoisted.
+
+    ``backend='pallas'`` (default, the production path since r4) runs the
+    fused kernel with bitpacked masks, fused l2norm epilogue, and the
+    unshifted softmax (inputs are row-normalized ⇒ |scores| ≤ 1); the
+    B=512/C=1024 shape won the r4 sweep (tools/sweep_block.py) at exact
+    coverage. ``backend='xla'`` keeps the r3 XLA composition for
+    comparison.
+    """
+    from relationalgraphlearning_tpu.ops import block_graph, pallas_block, \
+        sparse
 
     ks = jax.random.split(jax.random.PRNGKey(0), 2)
     pos = jax.random.uniform(ks[1], (n, 2)) * 100
@@ -112,6 +122,22 @@ def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=256, C=640):
     cand, cov = block_graph.block_window(cols, B, C)
     emask = block_graph.block_masks(cols, cand)  # graph-static, built once
     h0 = jax.random.normal(ks[0], (n, d))
+
+    if backend == "pallas":
+        mbits = pallas_block.pack_emask(emask)
+
+        @jax.jit
+        def f(h, cand, mbits):
+            def body(h, _):
+                out = pallas_block.block_attention_pallas(
+                    h, h, h, cand, mbits, epilogue="l2norm", stable=False)
+                return out, None
+
+            h, _ = jax.lax.scan(body, h, None, inner)
+            return h
+
+        dt = _timeit(f, h0, cand, mbits, reps=3)
+        return n * K * inner / dt, float(cov)
 
     @jax.jit
     def f(h, cols, cand, emask):
@@ -268,9 +294,14 @@ def main():
     print(json.dumps({"metric": "relation edges/s (SDDMM+softmax+SpMM)",
                       "value": round(e / 1e9, 2), "unit": "Gedges/s"}))
     eb, cov = edges_throughput_block()
-    print(json.dumps({"metric": "relation edges/s (windowed dense MXU path)",
+    print(json.dumps({"metric":
+                      "relation edges/s (block path, fused pallas kernel)",
                       "value": round(eb / 1e9, 2), "unit": "Gedges/s",
                       "coverage": cov}))
+    ebx, covx = edges_throughput_block(backend="xla")
+    print(json.dumps({"metric": "relation edges/s (block path, XLA)",
+                      "value": round(ebx / 1e9, 2), "unit": "Gedges/s",
+                      "coverage": covx}))
     m, _, _ = mega_crowd()
     print(json.dumps({"metric": "10k-agent crowd (kNN ORCA + SparseRGL values)",
                       "value": round(m, 1), "unit": "agent-steps/s"}))
