@@ -19,7 +19,9 @@ from relationalgraphlearning_tpu.utils.sync import force, warmup_tunnel
 compile_cache.enable()
 
 
-def timeit(fn, *args, reps=3):
+def timeit(fn, *args, reps=30):
+    """reps must amortize the ~20 ms tunnel fetch RTT — at reps=3 every
+    row carries a ~7 ms floor that swamps sub-20 ms programs (r4)."""
     out = fn(*args)
     force(out)
     t0 = time.perf_counter()
