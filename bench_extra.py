@@ -93,7 +93,7 @@ def edges_throughput(n=8192, K=16, d=64, inner=100):
         h, _ = jax.lax.scan(body, h, None, inner)
         return h
 
-    dt = _timeit(f, h0, cols, mask, reps=3)
+    dt = _timeit(f, h0, cols, mask, reps=30)  # amortize tunnel RTT
     return n * K * inner / dt
 
 
@@ -136,7 +136,7 @@ def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=512, C=1024,
             h, _ = jax.lax.scan(body, h, None, inner)
             return h
 
-        dt = _timeit(f, h0, cand, mbits, reps=3)
+        dt = _timeit(f, h0, cand, mbits, reps=30)  # amortize tunnel RTT
         return n * K * inner / dt, float(cov)
 
     @jax.jit
@@ -150,7 +150,7 @@ def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=512, C=1024,
         h, _ = jax.lax.scan(body, h, None, inner)
         return h
 
-    dt = _timeit(f, h0, cols, cand, emask, reps=3)
+    dt = _timeit(f, h0, cols, cand, emask, reps=30)
     return n * K * inner / dt, float(cov)
 
 

@@ -125,7 +125,7 @@ def graph_chain(n=8192, K=16, d=64, inner=100, dtype=jnp.float32,
         h, _ = jax.lax.scan(body, h, None, inner)
         return h
 
-    dt = _med_time(f, h0, cols, mask, reps=3)
+    dt = _med_time(f, h0, cols, mask, reps=10)  # amortize tunnel RTT
     edges = n * K * inner
     return edges / dt
 
@@ -196,7 +196,7 @@ def main():
             h, _ = jax.lax.scan(body, h, None, 100)
             return h
 
-        dt = _med_time(fb, h0, cols, cand, emask, reps=3)
+        dt = _med_time(fb, h0, cols, cand, emask, reps=30)
         e = n * K * 100 / dt
         dense_flops = n * C * 2 * (d + d) * 100 / dt  # issued matmul flops
         mxu_key = "mxu_bf16_tflops" if tag == "bf16" else "mxu_f32_tflops"
@@ -239,7 +239,7 @@ def main():
                 h, _ = jax.lax.scan(body, h, None, 100)
                 return h
 
-            dt = _med_time(fp, h0, cand, mbits, reps=3)
+            dt = _med_time(fp, h0, cand, mbits, reps=30)
             e = n * K * 100 / dt
             dense_flops = n * C * 2 * (d + d) * 100 / dt
             mxu_key = ("mxu_bf16_tflops" if tag == "bf16"

@@ -28,7 +28,8 @@ from relationalgraphlearning_tpu.utils.sync import force
 compile_cache.enable()
 
 
-def _med_time(fn, *args, reps=3, trials=3):
+def _med_time(fn, *args, reps=30, trials=3):
+    # reps must amortize the ~20 ms tunnel fetch RTT (bias = RTT/reps)
     import statistics
 
     out = fn(*args)
