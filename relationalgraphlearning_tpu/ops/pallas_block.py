@@ -147,6 +147,67 @@ def _kernel_packed(q_ref, x_ref, v_ref, m_ref, o_ref, *, epilogue="none",
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _kernel_packed_shared(q_ref, x_ref, m_ref, o_ref, *, epilogue="none",
+                          stable=True):
+    """Single-table variant: keys and values are the SAME candidate block
+    (the production case since the postponed-weight rewrite). One [C, d]
+    DMA per grid step instead of two — Mosaic streams separate input refs
+    separately even when they alias the same array."""
+    q = q_ref[0]
+    x = x_ref[0]
+    B = q.shape[0]
+    mask = _unpack_bits(m_ref[0], B)
+    scores = jax.lax.dot_general(
+        q, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if stable:
+        scores = jnp.where(mask, scores, _NEG)
+        smax = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.where(mask, jnp.exp(scores - smax), 0.0)
+    else:
+        e = jnp.where(mask, jnp.exp(scores), 0.0)
+    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+    attn = (e / denom).astype(x.dtype)
+    out = jax.lax.dot_general(
+        attn, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if epilogue == "l2norm":
+        out = out / jnp.maximum(
+            jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True)), 1e-6)
+    elif epilogue == "relu":
+        out = jnp.maximum(out, 0.0)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "epilogue", "stable"))
+def fused_block_attention_packed_shared(qb: Array, xg: Array, mbits: Array,
+                                        interpret: bool = False,
+                                        epilogue: str = "none",
+                                        stable: bool = True) -> Array:
+    """``fused_block_attention_packed`` with values ≡ keys ≡ ``xg``."""
+    nb, B, dq = qb.shape
+    C = xg.shape[1]
+    assert mbits.shape == (nb, B // 32, C), (mbits.shape, (nb, B, C))
+    return pl.pallas_call(
+        functools.partial(_kernel_packed_shared, epilogue=epilogue,
+                          stable=stable),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, B, dq), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, dq), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B // 32, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, dq), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, B, dq), qb.dtype),
+        interpret=interpret,
+    )(qb, xg, mbits)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "epilogue", "stable"))
 def fused_block_attention_packed(qb: Array, xg: Array, vg: Array,
@@ -202,10 +263,14 @@ def block_attention_pallas_aligned(q: Array, x: Array, v: Array,
     nb, S = starts.shape
     B = n // nb
     xg = gather_aligned(x, starts, align)
-    vg = xg if v is x else gather_aligned(v, starts, align)
-    out = fused_block_attention_packed(
-        q.reshape(nb, B, dq), xg, vg, mbits,
-        interpret=interpret, epilogue=epilogue, stable=stable)
+    if v is x:
+        out = fused_block_attention_packed_shared(
+            q.reshape(nb, B, dq), xg, mbits,
+            interpret=interpret, epilogue=epilogue, stable=stable)
+    else:
+        out = fused_block_attention_packed(
+            q.reshape(nb, B, dq), xg, gather_aligned(v, starts, align),
+            mbits, interpret=interpret, epilogue=epilogue, stable=stable)
     return out.reshape(n, -1)
 
 
@@ -227,7 +292,13 @@ def block_attention_pallas(q: Array, x: Array, v: Array, cand: Array,
     B = n // nb
     mbits = emask if emask.dtype == jnp.uint32 else pack_emask(emask)
     candc = jnp.clip(cand, 0, n - 1)
-    out = fused_block_attention_packed(
-        q.reshape(nb, B, dq), x[candc], v[candc], mbits,
-        interpret=interpret, epilogue=epilogue, stable=stable)
+    if v is x:
+        # keys ≡ values → single-table kernel: one candidate DMA per block
+        out = fused_block_attention_packed_shared(
+            q.reshape(nb, B, dq), x[candc], mbits,
+            interpret=interpret, epilogue=epilogue, stable=stable)
+    else:
+        out = fused_block_attention_packed(
+            q.reshape(nb, B, dq), x[candc], v[candc], mbits,
+            interpret=interpret, epilogue=epilogue, stable=stable)
     return out.reshape(n, -1)

@@ -177,21 +177,28 @@ def block_halo_attention(q: Array, x: Array, v: Array, cand: Array,
     B = n_loc // nb_loc
     start = me * n_loc
 
+    same = v is x  # postponed-weight callers: one exchange, one gather
     x_ext = halo_exchange(x, axis_name, halo)
-    v_ext = halo_exchange(v, axis_name, halo)
+    v_ext = x_ext if same else halo_exchange(v, axis_name, halo)
     local = cand - start + halo                      # [nb_loc, C]
     ok = (local >= 0) & (local < n_loc + 2 * halo)   # out-of-halo / sentinel
     localc = jnp.clip(local, 0, n_loc + 2 * halo - 1)
 
     if emask.dtype == jnp.uint32:
         from relationalgraphlearning_tpu.ops.pallas_block import (
-            fused_block_attention_packed)
+            fused_block_attention_packed, fused_block_attention_packed_shared)
 
         mbits = emask & jnp.where(ok, jnp.uint32(0xFFFFFFFF),
                                   jnp.uint32(0))[:, None, :]
-        out = fused_block_attention_packed(
-            q.reshape(nb_loc, B, dq), x_ext[localc], v_ext[localc], mbits,
-            interpret=jax.default_backend() == "cpu")
+        interp = jax.default_backend() == "cpu"
+        if same:
+            out = fused_block_attention_packed_shared(
+                q.reshape(nb_loc, B, dq), x_ext[localc], mbits,
+                interpret=interp)
+        else:
+            out = fused_block_attention_packed(
+                q.reshape(nb_loc, B, dq), x_ext[localc], v_ext[localc],
+                mbits, interpret=interp)
         return out.reshape(n_loc, -1)
 
     m = emask & ok[:, None, :]
