@@ -97,7 +97,7 @@ def edges_throughput(n=8192, K=16, d=64, inner=100):
     return n * K * inner / dt
 
 
-def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=512, C=1024,
+def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=256, C=544,
                            backend="pallas"):
     """Same chain, same loop-carried protocol, but through the windowed dense
     MXU path: per-block masked dense attention instead of per-edge gathers.
@@ -108,8 +108,9 @@ def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=512, C=1024,
     ``backend='pallas'`` (default, the production path since r4) runs the
     fused kernel with bitpacked masks, fused l2norm epilogue, and the
     unshifted softmax (inputs are row-normalized ⇒ |scores| ≤ 1); the
-    B=512/C=1024 shape won the r4 sweep (tools/sweep_block.py) at exact
-    coverage. ``backend='xla'`` keeps the r3 XLA composition for
+    B=256/C=544 shape is the fastest EXACT-coverage configuration of the
+    r4 sweep (tools/sweep_block.py + sweep_extra: 2.0 Gedges/s; C=512
+    reaches 2.37 but drops 0.027% of edges on this graph). ``backend='xla'`` keeps the r3 XLA composition for
     comparison.
     """
     from relationalgraphlearning_tpu.ops import block_graph, pallas_block, \
