@@ -61,11 +61,13 @@ def cpu_baseline_steps_per_s(seconds: float = 3.0) -> float:
 
 
 def tpu_steps_per_s(batch: int = 1024, horizon: int = 128,
-                    repeats: int = 3, trials: int = 5) -> float:
+                    repeats: int = 10, trials: int = 5) -> float:
     """Auto-reset collector: every step is a live env step.
 
     Median of ``trials`` timed trials (each ``repeats`` back-to-back
-    dispatches) so one noisy tunnel round-trip can't skew the headline.
+    dispatches) so one noisy tunnel round-trip can't skew the headline;
+    ``repeats`` amortizes the ~20 ms fetch RTT each trial pays once
+    (r4: repeats=3 understated ~50 ms programs by ~13%).
     """
     import statistics
 
