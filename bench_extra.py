@@ -310,12 +310,20 @@ def main():
     print(json.dumps({"metric": "10k-agent crowd (block MXU backend)",
                       "value": round(mb, 1), "unit": "agent-steps/s",
                       "coverage": cov}))
+    # amortized rows pin block_C=512: the packed kernel at (C=640, d=32)
+    # hits a ~20x Mosaic pathology at nb=40 (data/iso_mega.log) while 512
+    # is clean at full coverage on this crowd
     ma, cov, ov = mega_crowd(backend="block", packed=True, rebuild_every=8,
-                             steps=32)
+                             steps=32, block_C=512)
     print(json.dumps({"metric":
                       "10k-agent crowd (block+pallas, rebuild every 8)",
                       "value": round(ma, 1), "unit": "agent-steps/s",
                       "coverage": cov, "knn_overlap": round(ov, 4)}))
+    mg, _, ov = mega_crowd(backend="gather", rebuild_every=8, steps=32)
+    print(json.dumps({"metric":
+                      "10k-agent crowd (gather, rebuild every 8)",
+                      "value": round(mg, 1), "unit": "agent-steps/s",
+                      "knn_overlap": round(ov, 4)}))
     m100k, _, _ = mega_crowd(n=102_400)
     print(json.dumps({"metric": "100k-agent crowd (grid kNN + ORCA + SparseRGL)",
                       "value": round(m100k, 1), "unit": "agent-steps/s"}))
@@ -324,7 +332,7 @@ def main():
                       "value": round(m100kb, 1), "unit": "agent-steps/s",
                       "coverage": cov}))
     m100ka, cov, ov = mega_crowd(n=102_400, backend="block", packed=True,
-                                 rebuild_every=8, steps=32)
+                                 rebuild_every=8, steps=32, block_C=512)
     print(json.dumps({"metric":
                       "100k-agent crowd (block+pallas, rebuild every 8)",
                       "value": round(m100ka, 1), "unit": "agent-steps/s",
