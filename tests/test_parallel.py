@@ -27,10 +27,12 @@ def _setup(n=256, k=8, seed=0):
     return cfg, model, params, states, cols
 
 
-@pytest.mark.parametrize("method", ["ring", "allgather"])
+@pytest.mark.parametrize("method", ["allgather"])
 def test_partitioned_matches_single_device(method):
-    # data=4 keeps the unrolled ppermute ring short (XLA:CPU compile time);
-    # the 8-device ring is exercised by test_graft_entry_dryrun.
+    # allgather only: the ring method is covered (with the stricter mask +
+    # padding case) by test_partitioned_with_mask[ring] and the 8-device
+    # ring in test_graft_entry_dryrun — a second no-mask ring compile cost
+    # ~55 s of suite time for no extra coverage (r4, VERDICT #7).
     cfg, model, params, states, cols = _setup()
     H_ref = model.apply(params, states, cols)
     mesh = make_mesh(data=4, model=1)
