@@ -311,7 +311,7 @@ def main():
                       "value": round(mb, 1), "unit": "agent-steps/s",
                       "coverage": cov}))
     # amortized rows pin block_C=512: the packed kernel at (C=640, d=32)
-    # hits a ~20x Mosaic pathology at nb=40 (data/iso_mega.log) while 512
+    # hits a ~20x Mosaic pathology at nb=40 (docs/sweeps/iso_mega.log) while 512
     # is clean at full coverage on this crowd
     ma, cov, ov = mega_crowd(backend="block", packed=True, rebuild_every=8,
                              steps=32, block_C=512)
