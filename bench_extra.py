@@ -310,9 +310,11 @@ def main():
     print(json.dumps({"metric": "10k-agent crowd (block MXU backend)",
                       "value": round(mb, 1), "unit": "agent-steps/s",
                       "coverage": cov}))
-    # amortized rows pin block_C=512: the packed kernel at (C=640, d=32)
-    # hits a ~20x Mosaic pathology at nb=40 (docs/sweeps/iso_mega.log) while 512
-    # is clean at full coverage on this crowd
+    # amortized rows pin block_C=512: the full mega-crowd program at C=640
+    # + packed masks slows ~20x (docs/sweeps/iso_mega.log) though the
+    # standalone kernel chain at the same (d, C) is clean
+    # (docs/sweeps/probe_pathology.log — 1.57 Gedges/s), i.e. an XLA
+    # scheduling interaction in the larger program, not the kernel
     ma, cov, ov = mega_crowd(backend="block", packed=True, rebuild_every=8,
                              steps=32, block_C=512)
     print(json.dumps({"metric":
