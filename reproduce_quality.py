@@ -210,7 +210,12 @@ def main() -> int:
         "10.92 s, inside the paper band on every axis "
         "(results/mprl_td_lr5e4/eval_test_w4.json). mp_unicycle is the "
         "ActionRot (rotation-constrained) variant — a harder control "
-        "problem the reference never benchmarks for MPRL.")
+        "problem the reference never benchmarks for MPRL; its table row is "
+        "the trained π/4 planner, and eval-time action-space re-shaping "
+        "(rotation_constraint π/3 + width 8 on the SAME checkpoint) lifts "
+        "it to 0.938/0.036 "
+        "(results/mp_unicycle/eval_test_w8_rc1.0472.json, diagnosis in "
+        "PERF.md).")
     table = "\n".join(lines)
     print(table, flush=True)
     out = os.path.join(HERE, args.data_dir, "quality_table.md")
