@@ -123,6 +123,10 @@ def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=256, C=544,
     cand, cov = block_graph.block_window(cols, B, C)
     emask = block_graph.block_masks(cols, cand)  # graph-static, built once
     h0 = jax.random.normal(ks[0], (n, d))
+    # row-normalize the seed features: every iteration (including the first)
+    # must satisfy the unshifted-softmax precondition |scores| <= 1 that
+    # stable=False below relies on (ADVICE r4 #2)
+    h0 = h0 / jnp.maximum(jnp.linalg.norm(h0, axis=-1, keepdims=True), 1e-6)
 
     if backend == "pallas":
         mbits = pallas_block.pack_emask(emask)

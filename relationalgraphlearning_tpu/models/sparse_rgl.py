@@ -91,7 +91,7 @@ class SparseRGL(nn.Module):
 
                 agg = block_attention_pallas(
                     q, H, H, block_cand, block_emask,
-                    interpret=jax.default_backend() == "cpu")
+                    interpret=jax.default_backend() != "tpu")
             else:
                 agg = block_graph.block_attention(
                     q, H, H, cols, block_cand, mask=mask,
@@ -110,7 +110,18 @@ class SparseRGL(nn.Module):
         validity → node embeddings [n, X_dim]. ``block_cand`` [nb, C] from
         ``block_graph.block_window`` when ``backend='block'``; pass
         ``block_emask`` (``block_graph.block_masks``, graph-static) so the
-        edge-mask scatter is built once per graph, not once per layer."""
+        edge-mask scatter is built once per graph, not once per layer.
+
+        Convention (ADVICE r4 #4): a precomputed ``block_emask`` must ALREADY
+        bake in any runtime validity mask (``block_masks(cols, cand, mask)``)
+        — the block backends read it verbatim, so passing a fresh per-call
+        ``mask`` alongside it would be silently ignored. Asserted here."""
+        if block_emask is not None and mask is not None:
+            raise ValueError(
+                "backend='block': pass EITHER a precomputed block_emask "
+                "(with the validity mask baked in via block_masks(cols, "
+                "cand, mask)) OR a per-call mask (emask is then built here) "
+                "— a mask alongside a precomputed emask would be ignored.")
         H = self.w_h(states)
         if (self.backend == "block" and not self.use_pallas
                 and block_emask is None and block_cand is not None):

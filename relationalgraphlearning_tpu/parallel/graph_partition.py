@@ -128,7 +128,14 @@ def halo_exchange(x: Array, axis_name: str, halo: int) -> Array:
 
     The ring wraps at the ends (shard 0 receives shard D−1's tail); callers
     mask out-of-range candidates, so wrapped rows are never read.
+
+    ``halo`` must be positive: ``x[-0:]`` would alias the WHOLE shard and
+    shift local indexing by a full shard (ADVICE r4 #1). ``halo_reach`` can
+    legitimately return 0 (purely intra-shard graphs) — callers handle that
+    case by skipping the exchange, so it is an error here, not a no-op.
     """
+    if halo <= 0:
+        raise ValueError(f"halo_exchange needs halo > 0, got {halo}")
     D = jax.lax.psum(1, axis_name)
     fwd = [(i, (i + 1) % D) for i in range(D)]
     bwd = [(i, (i - 1) % D) for i in range(D)]
@@ -176,10 +183,21 @@ def block_halo_attention(q: Array, x: Array, v: Array, cand: Array,
     nb_loc, C = cand.shape
     B = n_loc // nb_loc
     start = me * n_loc
+    if halo >= n_loc:
+        # x[-halo:] would alias the whole shard and the extended-index math
+        # silently clips out of range — a 1-ring exchange cannot reach past
+        # the adjacent shard. Shards must be big enough for the graph's
+        # reach (halo_reach(cand, B, n_loc) < n_loc).
+        raise ValueError(
+            f"halo={halo} >= rows/shard={n_loc}: candidate reach exceeds "
+            "the adjacent shard; use fewer/larger shards for this graph")
 
     same = v is x  # postponed-weight callers: one exchange, one gather
-    x_ext = halo_exchange(x, axis_name, halo)
-    v_ext = x_ext if same else halo_exchange(v, axis_name, halo)
+    if halo > 0:
+        x_ext = halo_exchange(x, axis_name, halo)
+        v_ext = x_ext if same else halo_exchange(v, axis_name, halo)
+    else:  # halo_reach == 0: every candidate is intra-shard already
+        x_ext, v_ext = x, v
     local = cand - start + halo                      # [nb_loc, C]
     ok = (local >= 0) & (local < n_loc + 2 * halo)   # out-of-halo / sentinel
     localc = jnp.clip(local, 0, n_loc + 2 * halo - 1)
@@ -190,7 +208,8 @@ def block_halo_attention(q: Array, x: Array, v: Array, cand: Array,
 
         mbits = emask & jnp.where(ok, jnp.uint32(0xFFFFFFFF),
                                   jnp.uint32(0))[:, None, :]
-        interp = jax.default_backend() == "cpu"
+        # Mosaic only lowers on TPU; interpret everywhere else (ADVICE r4 #3)
+        interp = jax.default_backend() != "tpu"
         if same:
             out = fused_block_attention_packed_shared(
                 q.reshape(nb_loc, B, dq), x_ext[localc], mbits,
