@@ -90,7 +90,73 @@ def measure(method: str, n_devices: int, n_per_shard: int = 2048,
     return n * K * inner * cfg.num_layer / dt
 
 
+def measure_mega(n_devices: int, n_per_shard: int = 2048, steps: int = 16,
+                 rebuild_every: int = 8, reps: int = 3) -> float:
+    """End-to-end partitioned mega-crowd step (r5): graph construction +
+    ORCA + block-RGL values, everything inside one shard_map
+    (parallel/partitioned_build.py). Weak scaling: n = n_per_shard · D."""
+    from relationalgraphlearning_tpu.configs.base import GCNConfig
+    from relationalgraphlearning_tpu.envs.orca import ORCAParams
+    from relationalgraphlearning_tpu.models.sparse_rgl import SparseValueNet
+    from relationalgraphlearning_tpu.ops.sparse import knn_graph_auto
+    from relationalgraphlearning_tpu.parallel.mesh import make_mesh
+    from relationalgraphlearning_tpu.parallel.partitioned_build import (
+        BandSpec, init_crowd_shards, partitioned_mega_rollout)
+    from relationalgraphlearning_tpu.utils.sync import force
+
+    D = n_devices
+    n = n_per_shard * D
+    mesh = make_mesh(data=D, model=1, devices=jax.devices()[:D])
+    # density-matched domain (~0.256 agents/m^2, the mega_crowd default)
+    half = 100.0 * (n / 10240.0) ** 0.5
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.uniform(key, (n, 2), minval=-half, maxval=half)
+    n_cap = -(-int(n_per_shard * 1.3) // 128) * 128
+    spec = BandSpec(D=D, n_cap=n_cap, x0=-half, band_w=2 * half / D,
+                    y0=-half, cell=2 * half / 64, grid_w=256, B=128, C=448,
+                    K=16, K_orca=10, mig_cap=max(64, n_per_shard // 8))
+    gcn = GCNConfig()
+    net = SparseValueNet(gcn, backend="block")
+    cols0 = knn_graph_auto(pos, 16)
+    st0 = jnp.concatenate(
+        [pos, jnp.zeros((n, 2)), 0.3 * jnp.ones((n, 1))], -1)
+    params = SparseValueNet(gcn, backend="gather").init(
+        jax.random.PRNGKey(1), st0, cols0)
+    shards = init_crowd_shards(
+        pos, jnp.zeros((n, 2)), -pos, jnp.full((n,), 0.3), jnp.ones((n,)),
+        spec)
+    run = jax.jit(partitioned_mega_rollout(
+        mesh, spec, net, params, ORCAParams(), steps, rebuild_every))
+    with mesh:
+        sh2, diag = run(shards)
+        force(diag["vmean"])
+        cov = (float(diag["band_cov"]), float(diag["win_cov"]))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            sh2, diag = run(shards)
+        force(diag["vmean"])
+        dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": f"partitioned mega-crowd agent-steps/s (D={n_devices}, "
+                  f"n={n}, R={rebuild_every}, weak)",
+        "value": round(n * steps / dt, 1), "unit": "agent-steps/s",
+        "band_cov": cov[0], "win_cov": cov[1],
+        "note": "virtual CPU mesh — plumbing, not TPU perf",
+    }))
+    return n * steps / dt
+
+
 def main():
+    import sys
+
+    if "--mega" in sys.argv:
+        base = None
+        for d in (1, 2, 4, 8):
+            if d > len(jax.devices()):
+                break
+            e = measure_mega(d)
+            base = base or e
+        return
     results = {}
     for method in ("ring", "allgather", "block_halo"):
         base = None

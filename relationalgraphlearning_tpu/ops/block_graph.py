@@ -62,17 +62,24 @@ def spatial_sort(positions: Array, cell_size: Optional[Array] = None) -> Array:
     return jnp.argsort(ij[:, 0] * W + ij[:, 1])
 
 
-def block_window(cols: Array, block_size: int, window: int
-                 ) -> Tuple[Array, Array]:
+def block_window(cols: Array, block_size: int, window: int,
+                 sentinel: Optional[int] = None) -> Tuple[Array, Array]:
     """Per-block deduplicated candidate lists.
 
     cols [n, K] (n divisible by ``block_size``) → ``cand [nb, window]``
-    sorted ascending, padded with the sentinel ``n``; plus ``coverage``
-    (scalar float) — the fraction of edges whose endpoint made it into its
-    block's window (1.0 = the dense path is exact).
+    sorted ascending, padded with the sentinel (default ``n``); plus
+    ``coverage`` (scalar float) — the fraction of edges whose endpoint made
+    it into its block's window (1.0 = the dense path is exact).
+
+    Pass ``sentinel`` explicitly when ``cols`` carries ids from a LARGER
+    index space than its own row count (the node-partitioned construction:
+    per-shard rows, global ids) — it must exceed every real id so padding
+    never collides with a candidate.
     """
     n, K = cols.shape
     assert n % block_size == 0, (n, block_size)
+    if sentinel is None:
+        sentinel = n
     nb = n // block_size
     ids = jnp.sort(cols.reshape(nb, block_size * K), axis=-1)
     first = jnp.concatenate(
@@ -80,7 +87,7 @@ def block_window(cols: Array, block_size: int, window: int
     slot = jnp.cumsum(first, axis=-1) - 1  # [nb, BK]
     ok = first & (slot < window)
     dump = jnp.where(ok, slot, window)  # overflow + duplicates → dump slot
-    buf = jnp.full((nb, window + 1), n, dtype=cols.dtype)
+    buf = jnp.full((nb, window + 1), sentinel, dtype=cols.dtype)
     cand = jax.vmap(lambda b, s, v: b.at[s].set(v))(buf, dump, ids)[:, :window]
     # coverage: an edge is covered iff its endpoint id equals the candidate
     # at its searchsorted slot (duplicates of kept ids are covered too)

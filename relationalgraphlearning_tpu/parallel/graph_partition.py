@@ -183,13 +183,15 @@ def block_halo_attention(q: Array, x: Array, v: Array, cand: Array,
     nb_loc, C = cand.shape
     B = n_loc // nb_loc
     start = me * n_loc
-    if halo >= n_loc:
+    if halo > n_loc:
         # x[-halo:] would alias the whole shard and the extended-index math
         # silently clips out of range — a 1-ring exchange cannot reach past
         # the adjacent shard. Shards must be big enough for the graph's
-        # reach (halo_reach(cand, B, n_loc) < n_loc).
+        # reach (halo_reach(cand, B, n_loc) <= n_loc). halo == n_loc is the
+        # full-adjacent-shard exchange the partitioned-construction path
+        # uses (parallel/partitioned_build.py).
         raise ValueError(
-            f"halo={halo} >= rows/shard={n_loc}: candidate reach exceeds "
+            f"halo={halo} > rows/shard={n_loc}: candidate reach exceeds "
             "the adjacent shard; use fewer/larger shards for this graph")
 
     same = v is x  # postponed-weight callers: one exchange, one gather

@@ -1,0 +1,148 @@
+"""Partitioned graph construction + multi-chip mega-crowd step vs the
+single-device program (parallel/partitioned_build.py — VERDICT r4 #2/#3).
+
+The reference program is the single-device amortized mega-crowd semantics
+(bench_extra.mega_crowd): exact global kNN at each chunk start, ORCA against
+the (stale-within-chunk) neighbor lists, SparseRGL value net each step.
+The partitioned program must reproduce per-agent trajectories and values
+exactly (same neighbor SETS -> same LP -> same softmax aggregation), with
+its traced coverage/migration diagnostics clean.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relationalgraphlearning_tpu.configs.base import GCNConfig
+from relationalgraphlearning_tpu.envs.orca import (
+    ORCAParams, centralized_orca_step_knn)
+from relationalgraphlearning_tpu.models.sparse_rgl import SparseValueNet
+from relationalgraphlearning_tpu.ops.sparse import knn_graph
+from relationalgraphlearning_tpu.parallel.mesh import make_mesh
+from relationalgraphlearning_tpu.parallel.partitioned_build import (
+    BandSpec, init_crowd_shards, partitioned_mega_rollout)
+
+K, K_ORCA, B, C = 8, 6, 64, 256
+STEPS, R, DT = 8, 2, 0.25
+
+
+def _crowd(n=600, seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    pos = jax.random.uniform(k1, (n, 2), minval=-23.5, maxval=23.5)
+    goals = -pos
+    rad = jnp.full((n,), 0.3)
+    vmax = jnp.ones((n,))
+    vel = jnp.zeros((n, 2))
+    return pos, vel, goals, rad, vmax
+
+
+def _reference(net, params, pos, vel, goals, rad, vmax, oparams):
+    """Global single-device program with identical chunk semantics."""
+    n = pos.shape[0]
+    act = jnp.ones((n,), bool)
+    vmeans = []
+    for _ in range(STEPS // R):
+        cols = knn_graph(pos, K)
+        chunk_means = []
+        for _ in range(R):
+            to = goals - pos
+            d = jnp.linalg.norm(to, axis=-1, keepdims=True)
+            pref = jnp.where(d > 1e-3, to / jnp.maximum(d, 1e-9), 0.0)
+            vel = centralized_orca_step_knn(
+                pos, vel, rad, pref, vmax, act, oparams, K_ORCA,
+                cols=cols[:, :K_ORCA])
+            pos = pos + vel * DT
+            states = jnp.concatenate([pos, vel, rad[:, None]], axis=-1)
+            vals = net.apply(params, states, cols)
+            chunk_means.append(jnp.mean(vals))
+        vmeans.append(jnp.mean(jnp.asarray(chunk_means)))
+    return pos, vel, float(jnp.mean(jnp.asarray(vmeans)))
+
+
+def test_partitioned_mega_matches_single_device():
+    pos, vel, goals, rad, vmax = _crowd()
+    spec = BandSpec(D=4, n_cap=256, x0=-24.0, band_w=12.0, y0=-24.0,
+                    cell=3.0, grid_w=64, B=B, C=C, K=K, K_orca=K_ORCA,
+                    mig_cap=32, dt=DT)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    oparams = ORCAParams()
+
+    gcn = GCNConfig()
+    net_g = SparseValueNet(gcn, backend="gather")
+    cols0 = knn_graph(pos, K)
+    states0 = jnp.concatenate([pos, vel, rad[:, None]], axis=-1)
+    params = net_g.init(jax.random.PRNGKey(1), states0, cols0)
+
+    ref_pos, ref_vel, ref_vmean = _reference(
+        net_g, params, pos, vel, goals, rad, vmax, oparams)
+
+    net_b = SparseValueNet(gcn, backend="block")
+    sh = init_crowd_shards(pos, vel, goals, rad, vmax, spec)
+    run = partitioned_mega_rollout(mesh, spec, net_b, params, oparams,
+                                   STEPS, R)
+    with mesh:
+        sh2, diag = jax.jit(run)(sh)
+        jax.block_until_ready(sh2)
+
+    # traced health diagnostics must be clean
+    assert float(diag["band_cov"]) == 1.0, float(diag["band_cov"])
+    assert float(diag["win_cov"]) == 1.0, float(diag["win_cov"])
+    assert int(diag["overflow"]) == 0 and int(diag["lost"]) == 0
+
+    # identity-matched exactness: every agent, same trajectory
+    aid = np.asarray(sh2.aid)
+    active = np.asarray(sh2.active)
+    assert active.sum() == pos.shape[0]  # nobody lost
+    order = np.argsort(aid[active])
+    got_pos = np.asarray(sh2.pos)[active][order]
+    got_vel = np.asarray(sh2.vel)[active][order]
+    np.testing.assert_allclose(got_pos, np.asarray(ref_pos), atol=1e-4)
+    np.testing.assert_allclose(got_vel, np.asarray(ref_vel), atol=1e-4)
+    # value-net path (block kernel through the full-slab halo) agrees
+    assert abs(float(diag["vmean"]) - ref_vmean) < 1e-4
+
+
+def test_migration_conserves_agents():
+    """Agents streaming across band edges migrate without loss; identity
+    (aid) and attributes survive the move."""
+    n = 96
+    pos = jnp.stack([jnp.linspace(-11.0, 11.0, n),
+                     jnp.zeros((n,))], axis=-1)
+    goals = -pos  # everyone crosses the center -> lots of band traffic
+    rad = jnp.full((n,), 0.1)
+    vmax = jnp.ones((n,))
+    vel = jnp.zeros((n, 2))
+    spec = BandSpec(D=4, n_cap=64, x0=-12.0, band_w=6.0, y0=-12.0,
+                    cell=1.5, grid_w=64, B=32, C=128, K=4, K_orca=4,
+                    mig_cap=24, dt=0.25)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    gcn = GCNConfig()
+    net = SparseValueNet(gcn, backend="block")
+    cols0 = knn_graph(pos, 4)
+    params = SparseValueNet(gcn, backend="gather").init(
+        jax.random.PRNGKey(1),
+        jnp.concatenate([pos, vel, rad[:, None]], -1), cols0)
+    sh = init_crowd_shards(pos, vel, goals, rad, vmax, spec)
+    run = partitioned_mega_rollout(mesh, spec, net, params, ORCAParams(),
+                                   steps=16, rebuild_every=2)
+    with mesh:
+        sh2, diag = jax.jit(run)(sh)
+        jax.block_until_ready(sh2)
+    assert int(diag["overflow"]) == 0 and int(diag["lost"]) == 0
+    active = np.asarray(sh2.active)
+    aid = np.asarray(sh2.aid)[active]
+    assert active.sum() == n
+    assert sorted(aid.tolist()) == list(range(n))
+    # after 16 steps at vmax*dt=0.25 everyone moved ~4m toward the center.
+    # Migration runs at chunk STARTS, so agents may sit at most ONE band
+    # from home (those that crossed during the final chunk, not yet
+    # re-homed) — never further.
+    band = ((np.asarray(sh2.pos)[active][:, 0] - spec.x0)
+            // spec.band_w).astype(int)
+    home = (np.arange(len(active)) // spec.n_cap)[active]
+    assert np.abs(band - home).max() <= 1
+    # and migration actually happened: agents that STARTED in band 0/3
+    # moved ~4m inward, so some now live on a different shard than at init
+    init_band = np.clip(((np.asarray(pos)[aid, 0] - spec.x0)
+                         // spec.band_w).astype(int), 0, spec.D - 1)
+    assert (home != init_band).sum() > 0
