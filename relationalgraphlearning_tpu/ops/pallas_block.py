@@ -66,6 +66,8 @@ def _unpack_bits(bits: Array, B: int) -> Array:
     return ((bits[:, None, :] >> shift) & 1).reshape(B, C) > 0
 
 
+
+
 def _kernel(q_ref, x_ref, v_ref, m_ref, o_ref):
     q = q_ref[0]  # [B, dq]
     x = x_ref[0]  # [C, dq]
@@ -114,36 +116,55 @@ def fused_block_attention(qb: Array, xg: Array, vg: Array, emask: Array,
     )(qb, xg, vg, m)
 
 
-def _kernel_packed(q_ref, x_ref, v_ref, m_ref, o_ref, *, epilogue="none",
-                   stable=True):
-    q = q_ref[0]      # [B, dq]
-    x = x_ref[0]      # [C, dq]
-    v = v_ref[0]      # [C, dv]
+def _masked_softmax_agg(q, x, v, mbits, epilogue, stable):
+    """Shared kernel math, r5-tuned. Two changes over the r4 kernel, both
+    measured on the interleaved A/B harness (tools/ab_kernel.py — naive
+    sequential timing on this tunnel drifts ±20% and had first suggested
+    both were regressions): (a) the softmax divide moves AFTER the value
+    matmul — out = (e·V)/Σe == (e/Σe)·V by linearity, shrinking the
+    divide from [B, C] to [B, dv] (+7%, 2.02 → 2.17 Gedges/s on the
+    544-window chain); (b) the unshifted path replaces bool unpack +
+    select with a sign-smear int mask + bitwise AND (+4%, → 2.26): shift
+    the edge bit into the sign position, arithmetic-shift it across the
+    word, AND the f32 exp bits — inf from masked-slot overflow collapses
+    to +0.0 exactly."""
     B = q.shape[0]
-    mask = _unpack_bits(m_ref[0], B)  # [B, C] bool, ~B·C VPU ops
     scores = jax.lax.dot_general(
         q, x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [B, C] f32
     if stable:
+        mask = _unpack_bits(mbits, B)  # [B, C] bool
         scores = jnp.where(mask, scores, _NEG)
         smax = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.where(mask, jnp.exp(scores - smax), 0.0)
     else:
         # exact softmax without the max shift — callers guarantee bounded
-        # scores (e.g. l2-normalized inputs ⇒ |q·x| ≤ 1); the shift
-        # cancels in e/Σe identically, so skipping it only removes a
-        # [B, C] reduce+subtract from the VPU path
-        e = jnp.where(mask, jnp.exp(scores), 0.0)
+        # scores on REAL edges (e.g. l2-normalized inputs ⇒ |q·x| ≤ 1);
+        # the shift cancels in e/Σe identically. Masked-out slots may
+        # overflow to inf — the bitwise AND zeroes them exactly.
+        C = mbits.shape[-1]
+        shift = jax.lax.broadcasted_iota(jnp.int32, (B // 32, 32, C), 1)
+        m32 = ((mbits.astype(jnp.int32)[:, None, :] << (31 - shift))
+               >> 31).reshape(B, C)  # all-ones where edge
+        e = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(jnp.exp(scores), jnp.int32) & m32,
+            jnp.float32)
     denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
-    attn = (e / denom).astype(v.dtype)
     out = jax.lax.dot_general(
-        attn, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) / denom
     if epilogue == "l2norm":  # fused row normalize — saves an HBM pass
         out = out / jnp.maximum(
             jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True)), 1e-6)
     elif epilogue == "relu":  # the GCN-layer activation
         out = jnp.maximum(out, 0.0)
+    return out
+
+
+def _kernel_packed(q_ref, x_ref, v_ref, m_ref, o_ref, *, epilogue="none",
+                   stable=True):
+    out = _masked_softmax_agg(q_ref[0], x_ref[0], v_ref[0], m_ref[0],
+                              epilogue, stable)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -153,29 +174,8 @@ def _kernel_packed_shared(q_ref, x_ref, m_ref, o_ref, *, epilogue="none",
     (the production case since the postponed-weight rewrite). One [C, d]
     DMA per grid step instead of two — Mosaic streams separate input refs
     separately even when they alias the same array."""
-    q = q_ref[0]
     x = x_ref[0]
-    B = q.shape[0]
-    mask = _unpack_bits(m_ref[0], B)
-    scores = jax.lax.dot_general(
-        q, x, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if stable:
-        scores = jnp.where(mask, scores, _NEG)
-        smax = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.where(mask, jnp.exp(scores - smax), 0.0)
-    else:
-        e = jnp.where(mask, jnp.exp(scores), 0.0)
-    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
-    attn = (e / denom).astype(x.dtype)
-    out = jax.lax.dot_general(
-        attn, x, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if epilogue == "l2norm":
-        out = out / jnp.maximum(
-            jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True)), 1e-6)
-    elif epilogue == "relu":
-        out = jnp.maximum(out, 0.0)
+    out = _masked_softmax_agg(q_ref[0], x, x, m_ref[0], epilogue, stable)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
