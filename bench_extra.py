@@ -128,6 +128,27 @@ def edges_throughput_block(n=8192, K=16, d=64, inner=100, B=256, C=544,
     # stable=False below relies on (ADVICE r4 #2)
     h0 = h0 / jnp.maximum(jnp.linalg.norm(h0, axis=-1, keepdims=True), 1e-6)
 
+    if backend == "chunk":
+        # r5 flagship: in-kernel chunk DMA + tail gather (ops/pallas_chunk)
+        from relationalgraphlearning_tpu.ops.pallas_chunk import (
+            chunk_block_attention, chunk_window)
+
+        starts, tail, cmbits, ccov = chunk_window(cols, B)
+
+        @jax.jit
+        def f(h, starts, tail, cmbits):
+            def body(h, _):
+                out = chunk_block_attention(
+                    h, h, starts, tail, cmbits, epilogue="l2norm",
+                    stable=False)
+                return out, None
+
+            h, _ = jax.lax.scan(body, h, None, inner)
+            return h
+
+        dt = _timeit(f, h0, starts, tail, cmbits, reps=30)
+        return n * K * inner / dt, float(ccov)
+
     if backend == "pallas":
         mbits = pallas_block.pack_emask(emask)
 
@@ -298,6 +319,11 @@ def main():
     e = edges_throughput()
     print(json.dumps({"metric": "relation edges/s (SDDMM+softmax+SpMM)",
                       "value": round(e / 1e9, 2), "unit": "Gedges/s"}))
+    ec, cov = edges_throughput_block(backend="chunk")
+    print(json.dumps({"metric":
+                      "relation edges/s (chunked-fetch pallas kernel)",
+                      "value": round(ec / 1e9, 2), "unit": "Gedges/s",
+                      "coverage": cov}))
     eb, cov = edges_throughput_block()
     print(json.dumps({"metric":
                       "relation edges/s (block path, fused pallas kernel)",
@@ -314,13 +340,14 @@ def main():
     print(json.dumps({"metric": "10k-agent crowd (block MXU backend)",
                       "value": round(mb, 1), "unit": "agent-steps/s",
                       "coverage": cov}))
-    # amortized rows pin block_C=512: the full mega-crowd program at C=640
-    # + packed masks slows ~20x (docs/sweeps/iso_mega.log) though the
-    # standalone kernel chain at the same (d, C) is clean
-    # (docs/sweeps/probe_pathology.log — 1.57 Gedges/s), i.e. an XLA
-    # scheduling interaction in the larger program, not the kernel
+    # amortized rows run block_C=576 — EXACT coverage (r5). The r4 "C=640
+    # ~20x slowdown" pathology (docs/sweeps/probe_pathology.log) vanished
+    # with the retuned kernel math (divide-after-matmul + sign-smear
+    # masks, ops/pallas_block.py) — the r5 sweep (docs/sweeps/
+    # pathology_r5.log) shows a smooth C taper with C=576 exact within
+    # ~1% of C=512, so the exact shape is the production default.
     ma, cov, ov = mega_crowd(backend="block", packed=True, rebuild_every=8,
-                             steps=32, block_C=512)
+                             steps=32, block_C=576)
     print(json.dumps({"metric":
                       "10k-agent crowd (block+pallas, rebuild every 8)",
                       "value": round(ma, 1), "unit": "agent-steps/s",
@@ -338,7 +365,7 @@ def main():
                       "value": round(m100kb, 1), "unit": "agent-steps/s",
                       "coverage": cov}))
     m100ka, cov, ov = mega_crowd(n=102_400, backend="block", packed=True,
-                                 rebuild_every=8, steps=32, block_C=512)
+                                 rebuild_every=8, steps=32, block_C=576)
     print(json.dumps({"metric":
                       "100k-agent crowd (block+pallas, rebuild every 8)",
                       "value": round(m100ka, 1), "unit": "agent-steps/s",

@@ -221,8 +221,12 @@ def fused_block_attention_packed(qb: Array, xg: Array, vg: Array,
     Same masked-softmax semantics as ``fused_block_attention``, but the edge
     mask arrives bitpacked (32× less HBM than the r3 f32 mask — the mask was
     the largest streamed tensor at the bench shapes) and is expanded on the
-    VPU inside VMEM. Feature dtype is free: pass bf16 qb/xg/vg for the
-    bandwidth-optimal configuration; accumulation stays f32 on the MXU.
+    VPU inside VMEM. Feature dtype is free; accumulation stays f32 on the
+    MXU. NOTE (r5, interleaved A/B — docs/sweeps/ab_kernel_r5*.log): bf16
+    features are consistently SLOWER than f32 here at every swept shape
+    (e.g. 2.11 vs 2.26 Gedges/s at B=256/C=544) — the chain is VPU-bound
+    in f32 (exp/select over [B, C]) and bf16 only adds conversions; the r4
+    "bandwidth-optimal" claim was wrong and is withdrawn.
     """
     nb, B, dq = qb.shape
     C = xg.shape[1]
