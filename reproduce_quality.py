@@ -69,6 +69,19 @@ RUNS = [
      "config": "configs/icra_benchmark/mp_w4.py",
      "train_args": ["--evaluation_interval", "250", "--randomseed", "3",
                     "--rl_learning_rate", "5e-4"]},
+    # r5: the SHIPPED default recipe (cadence 250 / lr 5e-4 / val 200 now
+    # live in the config itself), fresh seed 4 — the band-membership check.
+    # train_args re-pin the config's own values over the historical
+    # cadence-500 default this script passes for the older rows.
+    {"name": "mp_default_r5", "policy": "model_predictive_rl",
+     "config": "configs/icra_benchmark/mp_separate.py",
+     "train_args": ["--evaluation_interval", "250", "--randomseed", "4",
+                    "--rl_learning_rate", "5e-4"]},
+    # r5 unicycle anneal stage 2: resumes the committed mp_unicycle
+    # checkpoint — see configs/icra_benchmark/mp_unicycle_anneal.py for
+    # the two-command recipe (this script lists it for the table; the
+    # resume prep is manual because it starts from another run's
+    # checkpoint).
 ]
 
 # Rows whose canonical record is a COMMITTED run under results/ (headline
@@ -83,6 +96,7 @@ COMMITTED_FALLBACK = {
     "orca_th10": "results/orca_th10",
     "mprl_fine": "results/mprl_fine",
     "mprl_band": "results/mprl_band",
+    "mp_default_r5": "results/mp_default_r5",
 }
 
 
