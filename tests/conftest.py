@@ -18,6 +18,23 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Slow tier (suite <400s gate): tests whose FULL coverage the driver
+# already exercises out-of-band every round (the multi-chip dryrun →
+# MULTICHIP_r*.json) are marked `slow` and skipped unless RUN_SLOW=1 —
+# their constituent paths stay covered by the default-tier unit tests.
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (driver-covered) — set RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 # Suite wall-clock is dominated by XLA:CPU compiles of the jitted train/eval
 # programs. Persist them: the first run pays, every habitual re-run is fast.
 _CACHE = os.environ.get("RGL_TPU_TEST_CACHE", "/tmp/rgl_tpu_test_xla_cache")

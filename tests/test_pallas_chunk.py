@@ -14,14 +14,20 @@ from relationalgraphlearning_tpu.ops.pallas_chunk import (
     chunk_block_attention, chunk_window)
 
 
-def _graph(n=2048, K=16, B=128, seed=0):
-    ks = jax.random.split(jax.random.PRNGKey(seed), 2)
-    pos = jax.random.uniform(ks[1], (n, 2)) * 50
-    pos = pos[block_graph.spatial_sort(pos)]
-    cols = sparse.knn_graph(pos, K)
-    h = jax.random.normal(ks[0], (n, 64))
-    h = h / jnp.linalg.norm(h, axis=-1, keepdims=True)
-    return cols, h
+_CACHE = {}
+
+
+def _graph(n=1024, K=16, B=128, seed=0):
+    key = (n, K, seed)
+    if key not in _CACHE:  # shared across tests: compile/build once
+        ks = jax.random.split(jax.random.PRNGKey(seed), 2)
+        pos = jax.random.uniform(ks[1], (n, 2)) * 35
+        pos = pos[block_graph.spatial_sort(pos)]
+        cols = sparse.knn_graph(pos, K)
+        h = jax.random.normal(ks[0], (n, 64))
+        h = h / jnp.linalg.norm(h, axis=-1, keepdims=True)
+        _CACHE[key] = (cols, h)
+    return _CACHE[key]
 
 
 def test_chunk_window_exact_cover():
@@ -31,8 +37,8 @@ def test_chunk_window_exact_cover():
     assert float(cov) == 1.0, float(cov)
     # starts are aligned table rows; tail ids are valid or sentinel
     assert int(jnp.max(starts)) <= cols.shape[0] - 32
-    assert starts.shape == (2048 // 128, 8)
-    assert mbits.shape == (16, 128 // 32, 8 * 32 + 288)
+    assert starts.shape == (1024 // 128, 8)
+    assert mbits.shape == (8, 128 // 32, 8 * 32 + 288)
     # production sizing (chunk=128, mostly-dense threshold) also covers
     starts2, tail2, mbits2, cov2 = chunk_window(cols, 128, nch=2, ct=352,
                                                 thresh=80, chunk=128)
@@ -56,7 +62,7 @@ def test_chunk_attention_matches_block():
 
 
 def test_chunk_attention_epilogue():
-    cols, h = _graph(n=1024)
+    cols, h = _graph()
     starts, tail, mbits, cov = chunk_window(cols, 128, nch=8, ct=288,
                                              thresh=32, chunk=32)
     cand, _ = block_graph.block_window(cols, 128, 416)

@@ -147,12 +147,29 @@ def test_sharded_train_step():
     assert max(jax.tree.leaves(d)) < 1e-4
 
 
-def test_graft_entry_dryrun():
+def test_graft_entry_compiles():
+    """The driver's single-chip entry contract (cheap)."""
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out[0].shape == (256,)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_graft_entry_dryrun():
+    """The FULL multi-chip dryrun (~90 s of 8-device CPU-mesh compiles).
+
+    Slow tier: the driver executes ``dryrun_multichip`` itself every round
+    (MULTICHIP_r*.json), and each of its sections has a default-tier unit
+    test (sharded train step, ring/allgather, halo block, partitioned
+    mega build) — run with RUN_SLOW=1.
+    """
+    import __graft_entry__ as ge
+
     ge.dryrun_multichip(8)
 
 
