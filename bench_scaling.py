@@ -150,12 +150,10 @@ def main():
     import sys
 
     if "--mega" in sys.argv:
-        base = None
         for d in (1, 2, 4, 8):
             if d > len(jax.devices()):
                 break
-            e = measure_mega(d)
-            base = base or e
+            measure_mega(d)
         return
     results = {}
     for method in ("ring", "allgather", "block_halo"):

@@ -103,7 +103,7 @@ def chunk_window(cols: Array, block_size: int, nch: int = 2, ct: int = 288,
     colsb = cols.reshape(nb, block_size, K)
     in_sel = jax.vmap(lambda f, c: f[c])(ok, colsb // chunk)
     tail_src = jnp.where(in_sel, n, colsb).reshape(n, K)
-    tail, _tc = block_window(tail_src, block_size, ct)
+    tail, _ = block_window(tail_src, block_size, ct)  # drops counted via `hit`
 
     # slot of every edge in the [evens; odds; tail] layout
     half = nch * chunk // 2

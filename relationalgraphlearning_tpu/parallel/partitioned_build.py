@@ -280,8 +280,7 @@ def _orca_step(pos, vel, sh, eidx, colvalid, pos_ext, vel_ext, rad_ext,
     return jnp.where(sh.active[:, None], new_v, 0.0)
 
 
-def _value_net_fullshard(net, net_params, states, cand, mbits, axis,
-                         interpret: bool):
+def _value_net_fullshard(net, net_params, states, cand, mbits, axis):
     """SparseValueNet forward with the aggregation through the full-
     adjacent-slab halo (halo = n_cap) — per-layer feature exchange is two
     ppermutes of the slab, O(n_cap·d) bytes on the ICI ring."""
@@ -301,12 +300,11 @@ def _value_net_fullshard(net, net_params, states, cand, mbits, axis,
         out = block_halo_attention(q, H, H, cand, mbits, axis, halo=n_cap)
         H = jax.nn.relu(
             out @ gp["params"][f"gcn_w{li+1}"]["kernel"])
-    vp = {"params": net_params["params"]["value_network"]}
     from relationalgraphlearning_tpu.models.mlp import MLP
 
-    head = MLP(net.value_dims, name="value_network")
+    head = MLP(net.value_dims)
     return head.apply(
-        {"params": vp["params"]}, H)[..., 0]
+        {"params": net_params["params"]["value_network"]}, H)[..., 0]
 
 
 # ------------------------------------------------------------- the rollout
@@ -323,7 +321,6 @@ def partitioned_mega_rollout(mesh: Mesh, spec: BandSpec, net, net_params,
     the R steps of each chunk.
     """
     assert steps % rebuild_every == 0, (steps, rebuild_every)
-    interpret = jax.default_backend() != "tpu"
 
     def sharded(net_params, sh: CrowdShards):
         def chunk(carry, _):
@@ -345,7 +342,7 @@ def partitioned_mega_rollout(mesh: Mesh, spec: BandSpec, net, net_params,
                 states = jnp.concatenate(
                     [new_pos, new_v, sh.rad[:, None]], axis=-1)
                 vals = _value_net_fullshard(
-                    net, net_params, states, cand, mbits, axis, interpret)
+                    net, net_params, states, cand, mbits, axis)
                 n_act = jnp.maximum(
                     jax.lax.psum(jnp.sum(sh.active), axis), 1)
                 vmean = jax.lax.psum(
