@@ -23,14 +23,24 @@ from relationalgraphlearning_tpu.utils.sync import force
 compile_cache.enable()
 
 
-def _timeit(fn, *args, reps=20):
+def _timeit(fn, *args, reps=20, trials=3):
+    """Median of ``trials`` timed regions of ``reps`` dispatches each.
+
+    reps amortizes the ~20 ms fetch RTT; the median guards against the
+    tunnel's bursty external contention (r5: a single-trial region once
+    printed 0.06 Gedges/s for a chain that re-measures at 1.95 ×3)."""
+    import statistics
+
     out = fn(*args)
     force(out)  # block_until_ready lies on the tunnel — fetch to sync
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    force(out)  # in-order TPU stream: last value implies all reps done
-    return (time.perf_counter() - t0) / reps
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        force(out)  # in-order TPU stream: last value implies reps done
+        ts.append((time.perf_counter() - t0) / reps)
+    return statistics.median(ts)
 
 
 def planning_throughput(batch=64, steps=32):
