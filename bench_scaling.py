@@ -113,7 +113,7 @@ def measure_mega(n_devices: int, n_per_shard: int = 2048, steps: int = 16,
     pos = jax.random.uniform(key, (n, 2), minval=-half, maxval=half)
     n_cap = -(-int(n_per_shard * 1.3) // 128) * 128
     spec = BandSpec(D=D, n_cap=n_cap, x0=-half, band_w=2 * half / D,
-                    y0=-half, cell=2 * half / 64, grid_w=256, B=128, C=448,
+                    y0=-half, cell=2 * half / 64, grid_w=256, B=128, C=512,
                     K=16, K_orca=10, mig_cap=max(64, n_per_shard // 8))
     gcn = GCNConfig()
     net = SparseValueNet(gcn, backend="block")
