@@ -57,7 +57,7 @@ _NEG = -1e30
 
 
 def chunk_window(cols: Array, block_size: int, nch: int = 2, ct: int = 288,
-                 thresh: int = 80, chunk: int = 128
+                 thresh: int = 80, chunk: int = 128, groups: int = 2
                  ) -> Tuple[Array, Array, Array, Array]:
     """Split each block's candidate set into dense aligned chunks + tail.
 
@@ -105,12 +105,15 @@ def chunk_window(cols: Array, block_size: int, nch: int = 2, ct: int = 288,
     tail_src = jnp.where(in_sel, n, colsb).reshape(n, K)
     tail, _ = block_window(tail_src, block_size, ct)  # drops counted via `hit`
 
-    # slot of every edge in the [evens; odds; tail] layout
-    half = nch * chunk // 2
+    # slot of every edge in the [residue-0 rows; residue-1; ...; tail]
+    # layout — ``groups`` = rows per fused lane row of the kernel's table
+    # view (2 for d=64 pairs, 4 for d=32 quads: groups·d = 128 lanes)
+    g = groups
+    part_w = nch * chunk // g
     sel_pos = jax.vmap(lambda f: jnp.cumsum(f) - 1)(ok.astype(jnp.int32))
     edge_sel = jax.vmap(lambda s, c: s[c])(sel_pos, colsb // chunk)
     off = colsb % chunk
-    chunk_slot = (off % 2) * half + edge_sel * (chunk // 2) + off // 2
+    chunk_slot = (off % g) * part_w + edge_sel * (chunk // g) + off // g
     tail_slot = jax.vmap(
         lambda t, c: jnp.clip(jnp.searchsorted(t, c.reshape(-1)),
                               0, ct - 1).reshape(c.shape))(tail, colsb)
