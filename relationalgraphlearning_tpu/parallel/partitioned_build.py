@@ -101,6 +101,11 @@ class BandSpec:
     K_orca: int     # ORCA neighbor count (first K_orca of the K)
     mig_cap: int    # migration buffer slots per direction
     dt: float = 0.25
+    # spatial-hash kNN inside shards instead of the dense distance matrix
+    # (exact when cell ≥ the k-th-neighbor distance and cells hold
+    # ≤ grid_max_per_cell agents — same contract as knn_graph_grid)
+    grid_knn: bool = False
+    grid_max_per_cell: int = 32
 
 
 def init_crowd_shards(pos, vel, goal, rad, vmax, spec: BandSpec
@@ -229,13 +234,43 @@ def _build_graph(sh: CrowdShards, spec: BandSpec, axis: str):
         jnp.full((n_cap,), me < spec.D - 1)])         # non-periodic bands
     act_ext = act_ext & strip_ok
 
-    d2 = jnp.sum((sh.pos[:, None, :] - pos_ext[None, :, :]) ** 2, axis=-1)
-    d2 = jnp.where(act_ext[None, :], d2, jnp.inf)
-    is_self = (jnp.arange(3 * n_cap)[None, :]
-               == (n_cap + jnp.arange(n_cap))[:, None])
-    d2 = jnp.where(is_self, jnp.inf, d2)
-    negd, eidx = jax.lax.top_k(-d2, K)                # ascending distance
-    colvalid = jnp.isfinite(negd) & sh.active[:, None]
+    if spec.grid_knn:
+        # spatial-hash kNN over the extended table — O(n_cap·9C) instead
+        # of the O(n_cap·3n_cap) dense distance matrix + top_k that
+        # dominates the build at scale (PERF.md r5 on-chip D=1 row).
+        # Exact under the usual grid conditions (cell ≥ k-th-neighbor
+        # distance, ≤ max_per_cell nodes/cell); only the middle band's
+        # rows are consumed. Self-exclusion is exact: the local copy
+        # appears once in the extended table.
+        from relationalgraphlearning_tpu.ops.sparse import knn_graph_grid
+
+        # inactive slots sit at (0, 0) and would flood the origin cell
+        # past max_per_cell, crowding REAL agents out of its candidate
+        # list — park them in one far (but bounded — cell ids must not
+        # overflow) corner cell instead; ``valid`` already excludes them
+        # as neighbors.
+        far = jnp.max(jnp.where(act_ext[:, None], pos_ext, -jnp.inf),
+                      axis=0) + 10.0 * spec.cell
+        posg = jnp.where(act_ext[:, None], pos_ext, far)
+        eidx_all = knn_graph_grid(posg, K, spec.cell,
+                                  max_per_cell=spec.grid_max_per_cell,
+                                  valid=act_ext)
+        eidx = eidx_all[n_cap:2 * n_cap]
+        d2k = jnp.sum(
+            (sh.pos[:, None, :] - pos_ext[eidx]) ** 2, axis=-1)
+        me_ext = n_cap + jnp.arange(n_cap)
+        colvalid = (act_ext[eidx] & (eidx != me_ext[:, None])
+                    & sh.active[:, None])
+        negd = jnp.where(colvalid, -d2k, -jnp.inf)
+    else:
+        d2 = jnp.sum(
+            (sh.pos[:, None, :] - pos_ext[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(act_ext[None, :], d2, jnp.inf)
+        is_self = (jnp.arange(3 * n_cap)[None, :]
+                   == (n_cap + jnp.arange(n_cap))[:, None])
+        d2 = jnp.where(is_self, jnp.inf, d2)
+        negd, eidx = jax.lax.top_k(-d2, K)            # ascending distance
+        colvalid = jnp.isfinite(negd) & sh.active[:, None]
 
     own_gid = me * n_cap + jnp.arange(n_cap, dtype=jnp.int32)
     gid = (me - 1) * n_cap + eidx                     # ext idx → global id

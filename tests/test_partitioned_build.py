@@ -102,6 +102,40 @@ def test_partitioned_mega_matches_single_device():
     assert abs(float(diag["vmean"]) - ref_vmean) < 1e-4
 
 
+def test_partitioned_mega_grid_knn_matches_single_device():
+    """The in-shard spatial-hash kNN path (BandSpec.grid_knn — the scale
+    configuration) reproduces the dense-kNN reference exactly when the
+    grid-exactness conditions hold (cell ≥ k-th-neighbor distance)."""
+    pos, vel, goals, rad, vmax = _crowd()
+    spec = BandSpec(D=4, n_cap=256, x0=-24.0, band_w=12.0, y0=-24.0,
+                    cell=6.0, grid_w=64, B=B, C=C, K=K, K_orca=K_ORCA,
+                    mig_cap=32, dt=DT, grid_knn=True, grid_max_per_cell=64)
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    oparams = ORCAParams()
+    gcn = GCNConfig()
+    net_g = SparseValueNet(gcn, backend="gather")
+    cols0 = knn_graph(pos, K)
+    states0 = jnp.concatenate([pos, vel, rad[:, None]], axis=-1)
+    params = net_g.init(jax.random.PRNGKey(1), states0, cols0)
+    ref_pos, ref_vel, ref_vmean = _reference(
+        net_g, params, pos, vel, goals, rad, vmax, oparams)
+    net_b = SparseValueNet(gcn, backend="block")
+    sh = init_crowd_shards(pos, vel, goals, rad, vmax, spec)
+    run = partitioned_mega_rollout(mesh, spec, net_b, params, oparams,
+                                   STEPS, R)
+    with mesh:
+        sh2, diag = jax.jit(run)(sh)
+        jax.block_until_ready(sh2)
+    assert float(diag["band_cov"]) == 1.0
+    assert float(diag["win_cov"]) == 1.0
+    aid = np.asarray(sh2.aid)
+    active = np.asarray(sh2.active)
+    order = np.argsort(aid[active])
+    np.testing.assert_allclose(np.asarray(sh2.pos)[active][order],
+                               np.asarray(ref_pos), atol=1e-4)
+    assert abs(float(diag["vmean"]) - ref_vmean) < 1e-4
+
+
 def test_migration_conserves_agents():
     """Agents streaming across band edges migrate without loss; identity
     (aid) and attributes survive the move."""
